@@ -1,0 +1,282 @@
+"""Typed configuration system.
+
+One dataclass per subsystem, a top-level ``RadarConfig`` aggregating
+them, YAML load/save, and dotted-path overrides.  Replaces the
+reference's per-script argparse sprawl and its empty ``configs/*.yaml``
+(reference ``configs/{radar,knowledge,expert_model}.yaml`` are 0 bytes;
+see SURVEY.md §0.2.4) with one config surface driving every entry point.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any
+
+import yaml
+
+
+def _coerce(value: Any, typ: Any) -> Any:
+    """Coerce a YAML scalar/maps into the declared dataclass field type."""
+    if is_dataclass(typ) and isinstance(value, dict):
+        return _from_dict(typ, value)
+    origin = getattr(typ, "__origin__", None)
+    if origin is tuple and isinstance(value, (list, tuple)):
+        args = typ.__args__
+        if len(args) == 2 and args[1] is Ellipsis:
+            return tuple(_coerce(v, args[0]) for v in value)
+        return tuple(_coerce(v, t) for v, t in zip(value, args))
+    if typ in (int, float, str, bool) and value is not None:
+        return typ(value)
+    return value
+
+
+def _from_dict(cls: type, data: dict) -> Any:
+    kwargs = {}
+    names = {f.name: f for f in fields(cls)}
+    for key, value in data.items():
+        if key not in names:
+            raise KeyError(f"unknown config key {key!r} for {cls.__name__}; "
+                           f"valid keys: {sorted(names)}")
+        kwargs[key] = _coerce(value, names[key].type_resolved
+                              if hasattr(names[key], "type_resolved")
+                              else _resolve_type(cls, names[key]))
+    return cls(**kwargs)
+
+
+def _resolve_type(cls: type, f: dataclasses.Field) -> Any:
+    # dataclass field types may be strings under `from __future__ import
+    # annotations`; resolve them against the defining module.
+    typ = f.type
+    if isinstance(typ, str):
+        import sys
+        mod = sys.modules[cls.__module__]
+        typ = eval(typ, vars(mod))  # noqa: S307 - trusted, our own modules
+    return typ
+
+
+def _to_dict(obj: Any) -> Any:
+    if is_dataclass(obj):
+        return {f.name: _to_dict(getattr(obj, f.name)) for f in fields(obj)}
+    if isinstance(obj, (list, tuple)):
+        return [_to_dict(v) for v in obj]
+    return obj
+
+
+class ConfigBase:
+    """Mixin: YAML round-trip + dotted overrides for config dataclasses."""
+
+    @classmethod
+    def from_dict(cls, data: dict) -> "ConfigBase":
+        return _from_dict(cls, data or {})
+
+    @classmethod
+    def from_yaml(cls, path: str) -> "ConfigBase":
+        with open(path) as f:
+            return cls.from_dict(yaml.safe_load(f) or {})
+
+    def to_dict(self) -> dict:
+        return _to_dict(self)
+
+    def to_yaml(self, path: str) -> None:
+        with open(path, "w") as f:
+            yaml.safe_dump(self.to_dict(), f, sort_keys=False)
+
+    def override(self, **dotted: Any) -> "ConfigBase":
+        """Return a copy with dotted-path overrides applied.
+
+        ``cfg.override(**{"vision.depth": 4, "train.lr": 3e-4})``
+        (dots may be written as ``__`` for kwargs-friendliness).
+        """
+        data = self.to_dict()
+        for key, value in dotted.items():
+            parts = key.replace("__", ".").split(".")
+            node = data
+            for p in parts[:-1]:
+                node = node[p]
+            if parts[-1] not in node:
+                raise KeyError(f"unknown config path {key!r}")
+            node[parts[-1]] = value
+        return type(self).from_dict(data)
+
+
+@dataclass(frozen=True)
+class VisionConfig(ConfigBase):
+    """ViT-class vision encoder (the reference's SwinV2 role,
+    ``train_expert_models.py:555``)."""
+    image_size: int = 224
+    patch_size: int = 16
+    hidden_size: int = 768
+    depth: int = 12
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    pool: str = "cls"  # "cls" | "mean"
+    channels: int = 3
+
+
+@dataclass(frozen=True)
+class TextConfig(ConfigBase):
+    """BERT-class clinical text encoder (the reference's
+    Bio_ClinicalBERT role, ``train_expert_models.py:556``)."""
+    vocab_size: int = 8192
+    max_length: int = 512
+    hidden_size: int = 768
+    depth: int = 6
+    num_heads: int = 12
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class ExpertConfig(ConfigBase):
+    """Shared expert-head configuration (all four variants)."""
+    num_observations: int = 14
+    hidden_size: int = 512
+    dropout_rate: float = 0.3
+    # uncertainty variant (reference modeling_expert_model_uncertainty.py)
+    mc_samples: int = 10
+    init_temperature: float = 1.5
+    confidence_threshold: float = 0.5
+    # gnn variant (reference modeling_expert_model_gnn.py)
+    gat_heads: int = 4
+    gat_hidden: int = 256
+    gat_layers: int = 2
+    loss_bce_weight: float = 1.0
+    loss_consistency_weight: float = 0.1
+    loss_correlation_weight: float = 0.05
+    # contrastive variant (reference modeling_expert_model_contrastive.py)
+    projection_dim: int = 256
+    contrastive_init_logit_scale: float = 2.6592  # ln(1/0.07)
+    hard_negative_low: float = 0.3
+    hard_negative_high: float = 1.0
+    hard_negative_margin: float = 0.5
+
+
+@dataclass(frozen=True)
+class RetrievalConfig(ConfigBase):
+    """Cross-modal dense retrieval (reference
+    ``modeling_dense_passage_retrieval.py:183-188``), rebuilt as an
+    on-device sharded top-k index."""
+    embedding_dim: int = 512
+    top_k: int = 5
+    hybrid_alpha: float = 0.5     # semantic vs observation-overlap mix
+    capacity: int = 65536         # padded index capacity (static shape)
+    shard_axis: str = "data"
+    query_batch: int = 64
+    max_passage_tokens: int = 128
+
+
+@dataclass(frozen=True)
+class FusionConfig(ConfigBase):
+    """PF<->SF knowledge fusion (reference
+    ``modeling_knowledge_fusion.py:12-22``)."""
+    hidden_size: int = 768
+    num_heads: int = 12
+    num_layers: int = 2
+    dropout_rate: float = 0.1
+    conflict_threshold: float = 0.5
+    image_modulation_scale: float = 0.1
+    max_findings_len: int = 64
+
+
+@dataclass(frozen=True)
+class DecoderConfig(ConfigBase):
+    """Report-generation decoder (net-new vs the reference, which
+    injects an external MLLM callable — ``modeling_iterative_rag.py:198``)."""
+    vocab_size: int = 8192
+    hidden_size: int = 512
+    depth: int = 6
+    num_heads: int = 8
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+    max_length: int = 512
+    max_new_tokens: int = 100
+
+
+@dataclass(frozen=True)
+class RAGConfig(ConfigBase):
+    """Iterative RAG loop (reference ``modeling_iterative_rag.py:12-20``)."""
+    max_iterations: int = 3
+    top_k: int = 5
+    consistency_threshold: float = 0.7
+    max_new_tokens: int = 100
+    num_verification_samples: int = 3
+    evidence_passages: int = 2    # passages appended to context per iter
+
+
+@dataclass(frozen=True)
+class MeshConfig(ConfigBase):
+    """Device mesh layout. data*model must divide the device count."""
+    data: int = -1   # -1: infer (all remaining devices)
+    model: int = 1
+    allow_smaller: bool = True
+
+
+@dataclass(frozen=True)
+class TrainConfig(ConfigBase):
+    batch_size: int = 32
+    eval_batch_size: int = 64
+    num_epochs: int = 10
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    warmup_steps: int = 100
+    schedule: str = "cosine"        # "cosine" | "constant"
+    grad_clip_norm: float = 1.0
+    seed: int = 0
+    compute_dtype: str = "bfloat16"  # dtype of activations / matmuls
+    remat: bool = False              # jax.checkpoint the encoder blocks
+    checkpoint_dir: str = "checkpoints"
+    keep_checkpoints: int = 3
+    log_every: int = 50
+    # contrastive two-phase schedule
+    pretrain_epochs: int = 5
+    pretrain_learning_rate: float = 1e-4
+
+
+@dataclass(frozen=True)
+class DataConfig(ConfigBase):
+    data_dir: str = "data"
+    annotation_file: str = "annotation.json"
+    clinical_context_file: str = "clinical_context.json"
+    observation_file: str = "observation.json"
+    splits_file: str = "splits.json"
+    num_workers: int = 4
+    synthetic: bool = False
+    synthetic_size: int = 512
+
+
+@dataclass(frozen=True)
+class RadarConfig(ConfigBase):
+    """Top-level config aggregating every subsystem."""
+    vision: VisionConfig = field(default_factory=VisionConfig)
+    text: TextConfig = field(default_factory=TextConfig)
+    expert: ExpertConfig = field(default_factory=ExpertConfig)
+    retrieval: RetrievalConfig = field(default_factory=RetrievalConfig)
+    fusion: FusionConfig = field(default_factory=FusionConfig)
+    decoder: DecoderConfig = field(default_factory=DecoderConfig)
+    rag: RAGConfig = field(default_factory=RAGConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+
+
+def tiny_config() -> RadarConfig:
+    """A CPU-friendly config for tests and the dataset-free demo."""
+    return RadarConfig.from_dict({
+        "vision": {"image_size": 64, "patch_size": 16, "hidden_size": 128,
+                   "depth": 2, "num_heads": 4},
+        "text": {"vocab_size": 512, "max_length": 64, "hidden_size": 128,
+                 "depth": 2, "num_heads": 4},
+        "expert": {"hidden_size": 128, "gat_hidden": 64, "mc_samples": 5,
+                   "projection_dim": 64},
+        "retrieval": {"embedding_dim": 64, "capacity": 256},
+        "fusion": {"hidden_size": 128, "num_heads": 4, "num_layers": 2,
+                   "max_findings_len": 16},
+        "decoder": {"vocab_size": 512, "hidden_size": 128, "depth": 2,
+                    "num_heads": 4, "max_length": 128, "max_new_tokens": 16},
+        "train": {"batch_size": 8, "eval_batch_size": 8, "warmup_steps": 2,
+                  "compute_dtype": "float32"},
+        "data": {"synthetic": True, "synthetic_size": 32},
+    })

@@ -1,0 +1,103 @@
+"""Simple deterministic word-level tokenizer.
+
+The reference depends on HuggingFace tokenizers downloaded from the hub
+(``train_expert_models.py:560``); this framework never requires network
+access: the tokenizer builds its vocabulary from the corpus (or the
+clinical constant vocabulary) and round-trips via JSON.  An optional HF
+tokenizer can be dropped in anywhere a ``Tokenizer`` is accepted — the
+interface is ``encode/decode/encode_batch``.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+import numpy as np
+
+from ..core import constants
+
+PAD, CLS, SEP, UNK = 0, 1, 2, 3
+SPECIALS = ("[PAD]", "[CLS]", "[SEP]", "[UNK]")
+
+_WORD_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
+
+
+def _tokenize(text: str) -> list[str]:
+    return _WORD_RE.findall(text.lower())
+
+
+class Tokenizer:
+    def __init__(self, vocab: dict[str, int]):
+        self.vocab = dict(vocab)
+        self.inv = {i: w for w, i in self.vocab.items()}
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def from_corpus(cls, texts: list[str], vocab_size: int = 8192
+                    ) -> "Tokenizer":
+        from collections import Counter
+        counts = Counter()
+        for t in texts:
+            counts.update(_tokenize(t))
+        vocab = {w: i for i, w in enumerate(SPECIALS)}
+        for w, _ in counts.most_common(vocab_size - len(SPECIALS)):
+            vocab[w] = len(vocab)
+        return cls(vocab)
+
+    @classmethod
+    def clinical_default(cls, vocab_size: int = 512) -> "Tokenizer":
+        """Vocabulary seeded from the clinical constants — enough for
+        synthetic data, demos and tests without any corpus."""
+        texts = list(constants.OBSERVATION_NAMES)
+        texts += list(constants.OBSERVATION_DESCRIPTIONS)
+        texts += list(constants.RAG_OBSERVATION_VOCAB)
+        texts += ["indication history comparison technique findings "
+                  "impression chest radiograph frontal lateral view "
+                  "patient evaluation there is are no seen of the with "
+                  "and in stable unchanged increased decreased mild "
+                  "moderate severe bilateral right left lower upper lobe "
+                  "evidence acute process cases retrieved report"]
+        return cls.from_corpus(texts, vocab_size)
+
+    # -- persistence -------------------------------------------------------
+    def save(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.vocab, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Tokenizer":
+        with open(path) as f:
+            return cls(json.load(f))
+
+    # -- encoding ----------------------------------------------------------
+    @property
+    def vocab_size(self) -> int:
+        return len(self.vocab)
+
+    def encode(self, text: str, max_length: int = 128
+               ) -> tuple[np.ndarray, np.ndarray]:
+        ids = [CLS] + [self.vocab.get(w, UNK) for w in _tokenize(text)]
+        ids = ids[: max_length - 1] + [SEP]
+        mask = np.zeros(max_length, np.int32)
+        out = np.full(max_length, PAD, np.int32)
+        out[: len(ids)] = ids
+        mask[: len(ids)] = 1
+        return out, mask
+
+    def encode_batch(self, texts: list[str], max_length: int = 128
+                     ) -> tuple[np.ndarray, np.ndarray]:
+        pairs = [self.encode(t, max_length) for t in texts]
+        ids = np.stack([p[0] for p in pairs])
+        mask = np.stack([p[1] for p in pairs])
+        return ids, mask
+
+    def decode(self, ids) -> str:
+        words = []
+        for i in np.asarray(ids).tolist():
+            if i == SEP:
+                break
+            if i in (PAD, CLS):
+                continue
+            words.append(self.inv.get(int(i), "[UNK]"))
+        return " ".join(words)

@@ -1,0 +1,122 @@
+"""Shared transformer building blocks (Flax linen).
+
+One encoder implementation serves the vision tower, the clinical-text
+tower, the fusion stack and the report decoder — sized by config, with
+a uniform dtype policy (params fp32, compute dtype configurable, matmul
+accumulation fp32 via ``preferred_element_type`` inside the attention
+op).  Optional ``remat`` wraps each block in ``jax.checkpoint`` to trade
+FLOPs for HBM.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_policies as _policies  # noqa: F401
+
+from ..ops.attention import dot_product_attention
+
+Dtype = jnp.dtype
+
+
+class Mlp(nn.Module):
+    hidden_dim: int
+    out_dim: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, *, deterministic: bool = True):
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        x = nn.gelu(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """MHA over [B, S, E]; supports self- and cross-attention."""
+    num_heads: int
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, x, kv=None, mask=None, *, deterministic: bool = True):
+        kv = x if kv is None else kv
+        e = x.shape[-1]
+        assert e % self.num_heads == 0, "hidden not divisible by heads"
+        d = e // self.num_heads
+
+        def heads(name, inp):
+            y = nn.Dense(e, dtype=self.dtype, name=name)(inp)
+            return y.reshape(*y.shape[:-1], self.num_heads, d).transpose(
+                0, 2, 1, 3)
+
+        q = heads("q", x)
+        k = heads("k", kv)
+        v = heads("v", kv)
+        if mask is not None and mask.ndim == 2:   # [B, Sk] padding mask
+            mask = mask[:, None, None, :].astype(bool)
+        out = dot_product_attention(q, k, v, mask=mask, causal=self.causal)
+        out = out.transpose(0, 2, 1, 3).reshape(*x.shape[:-1], e)
+        out = nn.Dense(e, dtype=self.dtype, name="out")(out)
+        out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
+        return out
+
+
+class EncoderBlock(nn.Module):
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        e = x.shape[-1]
+        h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
+        h = MultiHeadAttention(self.num_heads, self.dropout_rate,
+                               self.dtype, name="attn")(
+            h, mask=mask, deterministic=deterministic)
+        x = x + h
+        h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
+        h = Mlp(int(e * self.mlp_ratio), e, self.dropout_rate,
+                self.dtype, name="mlp")(h, deterministic=deterministic)
+        return x + h
+
+
+class TransformerEncoder(nn.Module):
+    depth: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    dropout_rate: float = 0.0
+    dtype: Dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x, mask=None, *, deterministic: bool = True):
+        block_cls = EncoderBlock
+        if self.remat:
+            block_cls = nn.remat(EncoderBlock, static_argnums=(3,),
+                                 prevent_cse=False)
+        for i in range(self.depth):
+            x = block_cls(self.num_heads, self.mlp_ratio,
+                          self.dropout_rate, self.dtype,
+                          name=f"block_{i}")(
+                x, mask, deterministic=deterministic)
+        return nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
+
+
+def pool_tokens(hidden: jnp.ndarray, mode: str,
+                mask: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Pool [B, S, E] -> [B, E]. "cls" takes token 0; "mean" masks pads."""
+    if mode == "cls":
+        return hidden[:, 0]
+    if mask is None:
+        return jnp.mean(hidden, axis=1)
+    m = mask.astype(hidden.dtype)[..., None]
+    return jnp.sum(hidden * m, axis=1) / jnp.maximum(
+        jnp.sum(m, axis=1), 1.0)
