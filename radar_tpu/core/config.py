@@ -193,6 +193,7 @@ class DecoderConfig(ConfigBase):
     dropout_rate: float = 0.0
     max_length: int = 512
     max_new_tokens: int = 100
+    prefix_dim: int = 512   # dim of the conditioning (image) embedding
 
 
 @dataclass(frozen=True)
@@ -275,7 +276,8 @@ def tiny_config() -> RadarConfig:
         "fusion": {"hidden_size": 128, "num_heads": 4, "num_layers": 2,
                    "max_findings_len": 16},
         "decoder": {"vocab_size": 512, "hidden_size": 128, "depth": 2,
-                    "num_heads": 4, "max_length": 128, "max_new_tokens": 16},
+                    "num_heads": 4, "max_length": 128, "max_new_tokens": 16,
+                    "prefix_dim": 64},
         "train": {"batch_size": 8, "eval_batch_size": 8, "warmup_steps": 2,
                   "compute_dtype": "float32"},
         "data": {"synthetic": True, "synthetic_size": 32},

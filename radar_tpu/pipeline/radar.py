@@ -1,0 +1,134 @@
+"""The full two-stage RADAR pipeline (reference ``README.md:7-10``):
+
+1. the MLLM stage (our ``ReportDecoder``, image-prefixed) drafts
+   *preliminary findings* (PF);
+2. the expert model validates observations on the image+context;
+3. cross-modal retrieval fetches *supplementary findings* (SF) from
+   similar cases (hybrid semantic+observation scoring);
+4. iterative RAG regenerates the report with targeted evidence until
+   observations are complete/consistent.
+
+The reference never assembles this end-to-end (its MLLM is an injected
+mock — SURVEY.md §0.1); here it runs as one object whose compute-heavy
+stages are jitted XLA programs and whose string-space loop stays host-
+side.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import RadarConfig
+from ..core.logging import get_logger
+from ..core.constants import OBSERVATION_NAMES
+from ..models.decoder import ReportDecoder, generate
+from ..pipeline.rag import IterativeRAG
+from ..retrieval.dpr import DensePassageRetrieval
+
+logger = get_logger("radar_tpu.pipeline")
+
+
+class RadarPipeline:
+    def __init__(self, config: RadarConfig, tokenizer,
+                 expert_model=None, expert_params=None,
+                 dpr: DensePassageRetrieval | None = None,
+                 decoder: ReportDecoder | None = None,
+                 decoder_params=None):
+        self.config = config
+        self.tokenizer = tokenizer
+        self.expert_model = expert_model
+        self.expert_params = expert_params
+        self.dpr = dpr
+        self.decoder = decoder
+        self.decoder_params = decoder_params
+        self.rag = IterativeRAG(config.rag)
+        self._expert_fwd = None
+        if expert_model is not None:
+            self._expert_fwd = jax.jit(
+                lambda p, pv, ids, m: expert_model.apply(
+                    {"params": p}, pv, ids, m, deterministic=True))
+
+    # ------------------------------------------------------------------
+    def predict_observations(self, image: np.ndarray,
+                             clinical_context: str,
+                             threshold: float = 0.5) -> dict:
+        """Expert-stage observation probabilities + confident set."""
+        ids, mask = self.tokenizer.encode(clinical_context,
+                                          self.config.text.max_length)
+        probs = jax.nn.sigmoid(self._expert_fwd(
+            self.expert_params, jnp.asarray(image)[None],
+            jnp.asarray(ids)[None], jnp.asarray(mask)[None]))[0]
+        probs = np.asarray(probs)
+        confident = {OBSERVATION_NAMES[i]: float(probs[i])
+                     for i in range(len(OBSERVATION_NAMES))
+                     if probs[i] > threshold}
+        return {"probs": probs, "confident_observations": confident}
+
+    # ------------------------------------------------------------------
+    def _make_generation_fn(self, image_embedding):
+        max_len = self.config.decoder.max_length
+        max_prompt = max_len - self.config.rag.max_new_tokens - 1
+
+        def generation_fn(context: str) -> str:
+            ids, mask = self.tokenizer.encode(context, max_prompt)
+            tokens = generate(
+                self.decoder, self.decoder_params,
+                jnp.asarray(ids)[None], jnp.asarray(mask)[None],
+                prefix_embedding=image_embedding,
+                max_new_tokens=self.config.rag.max_new_tokens,
+                temperature=0.0)
+            return self.tokenizer.decode(np.asarray(tokens)[0])
+
+        return generation_fn
+
+    def _make_retrieval_fn(self, image_embedding=None,
+                           query_observations=None):
+        def retrieval_fn(query: str, k: int) -> list[str]:
+            if self.dpr is None or self.dpr.index.count == 0:
+                return []
+            results = self.dpr.retrieve_for_text(
+                query, k, query_observations=query_observations)
+            return [r["passage"] for r in results]
+        return retrieval_fn
+
+    # ------------------------------------------------------------------
+    def generate_report(self, image: np.ndarray, clinical_context: str,
+                        reference_text: str | None = None) -> dict:
+        """End-to-end report generation for one study."""
+        # stage 1+2: expert observations
+        expert_out = None
+        q_obs = None
+        if self._expert_fwd is not None:
+            expert_out = self.predict_observations(image, clinical_context)
+            q_obs = (expert_out["probs"] > 0.5).astype(
+                np.float32)[None]
+
+        # image embedding for retrieval + decoder conditioning
+        image_embedding = None
+        if self.dpr is not None:
+            image_embedding = jnp.asarray(
+                self.dpr.embedder.embed_images([image]))
+
+        # stage 1: preliminary findings from the decoder
+        generation_fn = self._make_generation_fn(image_embedding)
+        pf_context = f"Clinical context: {clinical_context}\nFindings:"
+        preliminary = generation_fn(pf_context)
+
+        # stage 3+4: iterative RAG with targeted retrieval
+        retrieval_fn = self._make_retrieval_fn(image_embedding, q_obs)
+        rag_out = self.rag.generate_with_iterative_retrieval(
+            preliminary or pf_context, retrieval_fn, generation_fn,
+            reference_text=reference_text)
+
+        return {
+            "preliminary_findings": preliminary,
+            "report": rag_out["final_text"],
+            "iterations": rag_out["num_iterations"],
+            "consistency_score": rag_out["consistency_score"],
+            "expert_observations": (expert_out or {}).get(
+                "confident_observations", {}),
+            "retrieved_passages": rag_out["retrieved_passages"],
+            "rag": rag_out,
+        }

@@ -1,0 +1,110 @@
+"""Cross-modal embedder — the reference's BiomedCLIP role
+(``modeling_dense_passage_retrieval.py:191-268``): paired vision/text
+towers projected into one shared retrieval space (default 512-d,
+L2-normalised).
+
+No hub downloads: the towers are our own encoders (optionally warm-
+startable from a trained ContrastiveExpert's towers, which share the
+module structure).  Unlike the reference there are **no silent
+random-embedding fallbacks** on failure (its ``:244,261`` corrupt
+results; SURVEY.md §0.2) — errors propagate.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import RetrievalConfig, TextConfig, VisionConfig
+from ..models.text import TextEncoder
+from ..models.vision import VisionTransformer
+
+
+class CrossModalEmbedder(nn.Module):
+    vision_config: VisionConfig
+    text_config: TextConfig
+    retrieval_config: RetrievalConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        dim = self.retrieval_config.embedding_dim
+        self.vision = VisionTransformer(self.vision_config, self.dtype,
+                                        name="vision")
+        self.text = TextEncoder(self.text_config, self.dtype, name="text")
+        self.text_projection = nn.Dense(dim, dtype=self.dtype,
+                                        name="text_proj")
+        self.image_projection = nn.Dense(dim, dtype=self.dtype,
+                                         name="image_proj")
+
+    @staticmethod
+    def _normalize(x):
+        x = x.astype(jnp.float32)
+        return x / (jnp.linalg.norm(x, axis=-1, keepdims=True) + 1e-8)
+
+    def encode_text(self, input_ids, attention_mask=None):
+        pooled = self.text(input_ids, attention_mask)["pooler_output"]
+        return self._normalize(self.text_projection(pooled))
+
+    def encode_image(self, pixel_values):
+        pooled = self.vision(pixel_values)["pooler_output"]
+        return self._normalize(self.image_projection(pooled))
+
+    def __call__(self, pixel_values, input_ids, attention_mask=None):
+        return (self.encode_image(pixel_values),
+                self.encode_text(input_ids, attention_mask))
+
+
+class JittedEmbedder:
+    """Host-side wrapper: holds params and jit-compiled encode fns."""
+
+    def __init__(self, module: CrossModalEmbedder, params, tokenizer,
+                 max_length: int = 128):
+        self.module = module
+        self.params = params
+        self.tokenizer = tokenizer
+        self.max_length = max_length
+        self._encode_text = jax.jit(
+            lambda p, ids, m: module.apply({"params": p}, ids, m,
+                                           method=module.encode_text))
+        self._encode_image = jax.jit(
+            lambda p, pv: module.apply({"params": p}, pv,
+                                       method=module.encode_image))
+
+    @classmethod
+    def create(cls, vision_config: VisionConfig, text_config: TextConfig,
+               retrieval_config: RetrievalConfig, tokenizer,
+               rng: jax.Array | None = None, params=None,
+               dtype=jnp.float32) -> "JittedEmbedder":
+        module = CrossModalEmbedder(vision_config, text_config,
+                                    retrieval_config, dtype)
+        max_len = min(retrieval_config.max_passage_tokens,
+                      text_config.max_length)
+        if params is None:
+            rng = rng if rng is not None else jax.random.key(0)
+            pv = jnp.zeros((1, vision_config.image_size,
+                            vision_config.image_size,
+                            vision_config.channels), jnp.float32)
+            ids = jnp.zeros((1, max_len), jnp.int32)
+            mask = jnp.ones_like(ids)
+            params = module.init(rng, pv, ids, mask)["params"]
+        return cls(module, params, tokenizer, max_len)
+
+    def embed_texts(self, texts: list[str], batch_size: int = 64):
+        import numpy as np
+        outs = []
+        for start in range(0, len(texts), batch_size):
+            chunk = texts[start:start + batch_size]
+            ids, mask = self.tokenizer.encode_batch(chunk, self.max_length)
+            outs.append(np.asarray(
+                self._encode_text(self.params, jnp.asarray(ids),
+                                  jnp.asarray(mask))))
+        return np.concatenate(outs, axis=0)
+
+    def embed_images(self, images, batch_size: int = 64):
+        import numpy as np
+        outs = []
+        for start in range(0, len(images), batch_size):
+            chunk = jnp.asarray(np.stack(images[start:start + batch_size]))
+            outs.append(np.asarray(self._encode_image(self.params, chunk)))
+        return np.concatenate(outs, axis=0)

@@ -1,0 +1,105 @@
+"""End-to-end integration test — fills the reference's empty
+``tests/test_integration.py`` intent (SURVEY.md §4): train a tiny
+baseline expert on synthetic data until it learns, build a retrieval
+database, and run the full two-stage RADAR pipeline."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu.core.mesh import shard_batch
+from radar_tpu.core.training import (baseline_loss_fn, create_train_state,
+                                     make_eval_step, make_train_step,
+                                     replicate_state)
+from radar_tpu.eval.metrics import f1_scores
+from radar_tpu.models.decoder import ReportDecoder
+from radar_tpu.models.experts import create_model
+from radar_tpu.pipeline.radar import RadarPipeline
+from radar_tpu.retrieval.dpr import create_dpr_model
+
+
+def test_expert_learns_on_synthetic_data(cfg, dataset):
+    """Training on the structured synthetic set must beat chance."""
+    model = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    batch0 = next(dataset.batches(16))
+    tcfg = cfg.train.override(learning_rate=1e-3, num_epochs=25,
+                              schedule="constant")
+    state = create_train_state(model, jax.random.key(0), batch0, tcfg,
+                               steps_per_epoch=2)
+    step = make_train_step(model, baseline_loss_fn)
+    rng = jax.random.key(1)
+    first_loss = last_loss = None
+    for epoch in range(25):
+        for batch in dataset.batches(16, shuffle=True, seed=epoch):
+            state, m = step(state, batch, rng)
+            if first_loss is None:
+                first_loss = float(m["loss"])
+            last_loss = float(m["loss"])
+    assert last_loss < first_loss * 0.7, (first_loss, last_loss)
+
+    eval_step = make_eval_step(model)
+    logits = eval_step(state.params, batch0)
+    preds = (jax.nn.sigmoid(logits) > 0.5).astype(jnp.float32)
+    f1 = float(f1_scores(preds, jnp.asarray(batch0["labels"]))["micro_f1"])
+    assert f1 > 0.25, f1   # visible signal (tiny model, 4 epochs)
+
+
+def test_sharded_training_matches_single_device(cfg, dataset, mesh_data):
+    """The same train step on an 8-way data mesh must produce the same
+    loss trajectory as single-device (same seed, same data)."""
+    model = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    batch = next(dataset.batches(16))
+    rng = jax.random.key(1)
+
+    state1 = create_train_state(model, jax.random.key(0), batch, cfg.train)
+    step1 = make_train_step(model, baseline_loss_fn)
+    losses1 = []
+    for _ in range(3):
+        state1, m = step1(state1, batch, rng)
+        losses1.append(float(m["loss"]))
+
+    state2 = create_train_state(model, jax.random.key(0), batch, cfg.train)
+    state2 = replicate_state(state2, mesh_data)
+    step2 = make_train_step(model, baseline_loss_fn, mesh_data)
+    sbatch = shard_batch(mesh_data, batch)
+    losses2 = []
+    for _ in range(3):
+        state2, m = step2(state2, sbatch, rng)
+        losses2.append(float(m["loss"]))
+
+    np.testing.assert_allclose(losses1, losses2, rtol=2e-3)
+
+
+def test_full_radar_pipeline(cfg, dataset, tokenizer):
+    """Two-stage pipeline end-to-end on synthetic data with an
+    untrained tiny decoder: structure and plumbing must hold."""
+    expert = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    sample = dataset[0]
+    pv = jnp.asarray(sample["pixel_values"])[None]
+    ids = jnp.asarray(sample["input_ids"])[None]
+    mask = jnp.asarray(sample["attention_mask"])[None]
+    expert_params = expert.init(jax.random.key(0), pv, ids, mask)["params"]
+
+    dpr = create_dpr_model(cfg, tokenizer)
+    passages = [dataset[i]["report"] for i in range(8)]
+    obs = np.stack([dataset[i]["labels"] for i in range(8)])
+    dpr.build_retrieval_database(passages, obs)
+
+    dec_cfg = cfg.decoder
+    decoder = ReportDecoder(dec_cfg)
+    did = jnp.zeros((1, 8), jnp.int32)
+    dmask = jnp.ones((1, 8), jnp.int32)
+    dprefix = jnp.zeros((1, dec_cfg.prefix_dim), jnp.float32)
+    decoder_params = decoder.init(jax.random.key(1), did, dmask,
+                                  dprefix)["params"]
+
+    pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
+                         decoder, decoder_params)
+    out = pipe.generate_report(sample["pixel_values"],
+                               sample["clinical_context"],
+                               reference_text=sample["report"])
+    assert isinstance(out["report"], str)
+    assert out["iterations"] >= 1
+    assert 0.0 <= out["consistency_score"] <= 1.0
+    assert isinstance(out["expert_observations"], dict)
+    assert isinstance(out["retrieved_passages"], list)

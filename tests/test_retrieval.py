@@ -1,0 +1,119 @@
+"""Retrieval subsystem tests: exactness of the sharded on-device top-k
+index vs brute force, hybrid observation-aware scoring, hard negatives,
+and the DPR facade round trip."""
+
+import numpy as np
+import pytest
+
+from radar_tpu.core.config import RetrievalConfig, tiny_config
+from radar_tpu.retrieval.dpr import create_dpr_model
+from radar_tpu.retrieval.index import ShardedIndex
+
+
+def _random_embeddings(n, d, seed=0):
+    rng = np.random.default_rng(seed)
+    e = rng.normal(size=(n, d)).astype(np.float32)
+    return e / np.linalg.norm(e, axis=-1, keepdims=True)
+
+
+def test_index_matches_bruteforce():
+    cfg = RetrievalConfig(embedding_dim=32, capacity=128, top_k=5)
+    idx = ShardedIndex(cfg)
+    emb = _random_embeddings(100, 32)
+    idx.add(emb)
+    q = _random_embeddings(7, 32, seed=1)
+    scores, ids = idx.search(q, k=5)
+    ref = q @ emb.T
+    ref_ids = np.argsort(-ref, axis=1)[:, :5]
+    np.testing.assert_array_equal(ids, ref_ids)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(ref, ref_ids, axis=1), rtol=1e-5)
+
+
+def test_sharded_index_matches_unsharded(mesh_data):
+    cfg = RetrievalConfig(embedding_dim=32, capacity=128, top_k=5)
+    emb = _random_embeddings(100, 32)
+    q = _random_embeddings(7, 32, seed=1)
+    plain = ShardedIndex(cfg)
+    plain.add(emb)
+    sharded = ShardedIndex(cfg, mesh_data)
+    sharded.add(emb)
+    s0, i0 = plain.search(q, k=5)
+    s1, i1 = sharded.search(q, k=5)
+    np.testing.assert_allclose(s0, s1, rtol=1e-5)
+    np.testing.assert_array_equal(i0, i1)
+
+
+def test_padding_rows_never_returned():
+    cfg = RetrievalConfig(embedding_dim=16, capacity=64, top_k=10)
+    idx = ShardedIndex(cfg)
+    idx.add(_random_embeddings(4, 16))
+    scores, ids = idx.search(_random_embeddings(2, 16, seed=3), k=10)
+    assert (ids[:, 4:] == -1).all()       # only 4 valid rows
+    assert set(ids[:, :4].flatten().tolist()) == {0, 1, 2, 3}
+
+
+def test_capacity_overflow_raises():
+    cfg = RetrievalConfig(embedding_dim=8, capacity=16)
+    idx = ShardedIndex(cfg)
+    idx.add(_random_embeddings(16, 8))
+    with pytest.raises(ValueError, match="capacity"):
+        idx.add(_random_embeddings(1, 8))
+
+
+def test_hybrid_observation_scoring_changes_ranking():
+    cfg = RetrievalConfig(embedding_dim=16, capacity=64, top_k=3,
+                          hybrid_alpha=0.5)
+    idx = ShardedIndex(cfg)
+    rng = np.random.default_rng(0)
+    emb = _random_embeddings(20, 16)
+    obs = np.zeros((20, 14), np.float32)
+    obs[7, 1] = 1.0  # passage 7 mentions Cardiomegaly
+    idx.add(emb, obs)
+    q = emb[3:4] + 0.01 * rng.normal(size=(1, 16)).astype(np.float32)
+    q_obs = np.zeros((1, 14), np.float32)
+    q_obs[0, 1] = 1.0  # query asks about Cardiomegaly
+    _, ids_sem = idx.search(q, k=3)
+    _, ids_hyb = idx.search(q, k=3, query_observations=q_obs)
+    assert ids_sem[0, 0] == 3              # semantic: nearest neighbour
+    assert 7 in ids_hyb[0].tolist()        # hybrid promotes obs match
+
+
+def test_hard_negatives_are_next_ranks():
+    cfg = RetrievalConfig(embedding_dim=16, capacity=64, top_k=3)
+    idx = ShardedIndex(cfg)
+    emb = _random_embeddings(30, 16)
+    idx.add(emb)
+    q = _random_embeddings(1, 16, seed=2)
+    (pv, pi), (nv, ni) = idx.search_with_hard_negatives(
+        q, k=3, num_negatives=2)
+    full_s, full_i = idx.search(q, k=5)
+    np.testing.assert_array_equal(pi, full_i[:, :3])
+    np.testing.assert_array_equal(ni, full_i[:, 3:])
+    assert (pv.min() >= nv.max())
+
+
+def test_dpr_facade_roundtrip():
+    cfg = tiny_config()
+    dpr = create_dpr_model(cfg)
+    passages = [
+        "Cardiomegaly with enlarged cardiac silhouette",
+        "Pneumothorax with air in the pleural space",
+        "Pleural effusion with fluid in the pleural cavity",
+        "No finding with normal chest radiograph appearance",
+        "Consolidation with dense opacification of lung tissue",
+    ]
+    n = dpr.build_retrieval_database(passages)
+    assert n == 5 and dpr.index.count == 5
+    results = dpr.retrieve_for_text(passages[1], k=3)
+    assert results[0]["passage"] == passages[1]   # self-retrieval top-1
+    assert results[0]["rank"] == 0
+    # image query executes end-to-end
+    img = np.random.default_rng(0).normal(
+        0.5, 0.3, (cfg.vision.image_size, cfg.vision.image_size, 3)
+    ).astype(np.float32)
+    img_results = dpr.retrieve_for_image(img, k=2)
+    assert len(img_results) == 2
+    pos, neg = dpr.retrieve_with_hard_negatives(passages[0], k=2,
+                                                num_negatives=2)
+    assert len(pos) == 2 and len(neg) == 2
