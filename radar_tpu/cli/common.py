@@ -1,0 +1,124 @@
+"""Shared CLI plumbing: argument groups, dataset construction
+(synthetic or real-JSON), mesh setup."""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+from ..core.config import MeshConfig, RadarConfig
+from ..core.logging import get_logger
+from ..core.mesh import build_mesh
+from ..data.dataset import ExpertModelDataset
+from ..data.synthetic import SyntheticCXRDataset
+from ..data.tokenizer import Tokenizer
+
+logger = get_logger("radar_tpu.cli")
+
+
+def add_data_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--image_path", type=str,
+                        default="./data/mimic_cxr/images/",
+                        help="Root path for images")
+    parser.add_argument("--annotation_path", type=str,
+                        default="./data/mimic_cxr/annotation.json")
+    parser.add_argument("--clinical_context_path", type=str,
+                        default="./data/mimic_cxr/clinical_context.json")
+    parser.add_argument("--observation_path", type=str,
+                        default="./data/mimic_cxr/observation.json")
+    parser.add_argument("--synthetic", action="store_true",
+                        help="Use the synthetic dataset (no files needed)")
+    parser.add_argument("--synthetic_size", type=int, default=256)
+
+
+def add_common_args(parser: argparse.ArgumentParser) -> None:
+    parser.add_argument("--config", type=str, default=None,
+                        help="YAML config (configs/radar.yaml schema)")
+    parser.add_argument("--batch_size", type=int, default=None)
+    parser.add_argument("--mesh_model", type=int, default=1,
+                        help="Tensor-parallel axis size")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--tiny", action="store_true",
+                        help="Tiny model config (CPU-friendly)")
+
+
+def load_config(args) -> RadarConfig:
+    from ..core.config import tiny_config
+    if args.config:
+        cfg = RadarConfig.from_yaml(args.config)
+    elif getattr(args, "tiny", False):
+        cfg = tiny_config()
+    else:
+        cfg = RadarConfig()
+    overrides = {}
+    if getattr(args, "batch_size", None):
+        overrides["train.batch_size"] = args.batch_size
+    if getattr(args, "epochs", None):
+        overrides["train.num_epochs"] = args.epochs
+    if getattr(args, "learning_rate", None):
+        overrides["train.learning_rate"] = args.learning_rate
+    if getattr(args, "pretrain_epochs", None) and getattr(
+            args, "pretrain", False):
+        overrides["train.pretrain_epochs"] = args.pretrain_epochs
+    if getattr(args, "seed", None) is not None:
+        overrides["train.seed"] = args.seed
+    if overrides:
+        cfg = cfg.override(**overrides)
+    if getattr(args, "pretrain", None) is False:
+        cfg = cfg.override(**{"train.pretrain_epochs": 0})
+    return cfg
+
+
+def make_mesh(args):
+    import jax
+    n = len(jax.devices())
+    model = max(1, args.mesh_model)
+    return build_mesh(MeshConfig(data=n // model, model=model))
+
+
+def build_datasets(args, cfg: RadarConfig, tokenizer: Tokenizer,
+                   splits=("train", "val")) -> dict:
+    """Returns {split: dataset}. Synthetic datasets mirror the real
+    dataset's batch contract (pixel_values pre-normalised)."""
+    out = {}
+    if args.synthetic or not os.path.exists(args.annotation_path):
+        if not args.synthetic:
+            logger.warning("annotation file %s not found; falling back "
+                           "to synthetic data", args.annotation_path)
+        sizes = {"train": args.synthetic_size,
+                 "val": max(32, args.synthetic_size // 4),
+                 "test": max(32, args.synthetic_size // 4)}
+        for i, split in enumerate(splits):
+            out[split] = SyntheticCXRDataset(
+                sizes.get(split, 64), cfg.vision.image_size,
+                cfg.text.max_length, seed=100 + i, tokenizer=tokenizer)
+    else:
+        for split in splits:
+            out[split] = ExpertModelDataset(
+                args.image_path, args.annotation_path,
+                args.clinical_context_path, args.observation_path,
+                tokenizer, split=split,
+                image_size=cfg.vision.image_size,
+                max_text_length=cfg.text.max_length)
+    return out
+
+
+def batch_iterator_factory(dataset, batch_size: int, *, shuffle=False,
+                           seed=0):
+    """Callable returning a fresh epoch iterator, with device-side
+    image preprocessing for real datasets."""
+    is_real = isinstance(dataset, ExpertModelDataset)
+
+    def factory(epoch_seed=None):
+        s = seed if epoch_seed is None else epoch_seed
+        for batch in dataset.batches(batch_size, shuffle=shuffle, seed=s):
+            if is_real:
+                batch = dataset.device_batch(batch)
+            yield batch
+    return factory
+
+
+def steps_per_epoch(dataset, batch_size: int) -> int:
+    return max(1, len(dataset) // batch_size)

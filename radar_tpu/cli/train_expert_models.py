@@ -1,0 +1,92 @@
+"""Expert-model training CLI — flag parity with the reference's
+``train_expert_models.py:503-541`` (model_type / data paths /
+batch_size / epochs / learning_rate / pretrain / output_dir), driving
+the TPU-native trainer (sharded jitted steps, Orbax best-macro-F1
+checkpointing, post-hoc uncertainty calibration).
+
+Usage:
+    python -m radar_tpu.cli.train_expert_models --model_type gnn \
+        --synthetic --tiny --epochs 3
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+from ..core.logging import MetricWriter, get_logger
+from ..core.trainer import ExpertTrainer
+from ..data.tokenizer import Tokenizer
+from .common import (add_common_args, add_data_args,
+                     batch_iterator_factory, build_datasets, load_config,
+                     make_mesh, steps_per_epoch)
+
+logger = get_logger("radar_tpu.train")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        description="Train RADAR expert models (TPU-native)")
+    parser.add_argument("--model_type", type=str, default="uncertainty",
+                        choices=["baseline", "uncertainty", "gnn",
+                                 "contrastive"],
+                        help="Expert model variant to train")
+    add_data_args(parser)
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--learning_rate", type=float, default=None)
+    parser.add_argument("--pretrain", action="store_true",
+                        help="Contrastive pretraining phase (contrastive)")
+    parser.add_argument("--pretrain_epochs", type=int, default=None)
+    parser.add_argument("--output_dir", type=str,
+                        default="./checkpoints/expert_models/")
+    add_common_args(parser)
+    return parser
+
+
+def main(argv=None) -> dict:
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    if args.model_type != "contrastive" or not args.pretrain:
+        cfg = cfg.override(**{"train.pretrain_epochs": 0})
+
+    mesh = make_mesh(args)
+    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    datasets = build_datasets(args, cfg, tokenizer, ("train", "val"))
+
+    ckpt_dir = os.path.join(args.output_dir, args.model_type)
+    trainer = ExpertTrainer(args.model_type, cfg, mesh, ckpt_dir)
+    writer = MetricWriter(os.path.join(args.output_dir,
+                                       f"{args.model_type}_train.jsonl"))
+
+    bs = cfg.train.batch_size
+    t0 = time.time()
+    trainer.fit(
+        batch_iterator_factory(datasets["train"], bs, shuffle=True,
+                               seed=cfg.train.seed),
+        batch_iterator_factory(datasets["val"], bs),
+        steps_per_epoch=steps_per_epoch(datasets["train"], bs),
+        metric_writer=writer)
+    elapsed = time.time() - t0
+
+    best = trainer.ckpt.best_info() if trainer.ckpt else None
+    results = {
+        "model_type": args.model_type,
+        "epochs": cfg.train.num_epochs,
+        "train_seconds": round(elapsed, 2),
+        "best": best,
+        "history": trainer.history,
+    }
+    out_path = os.path.join(
+        args.output_dir,
+        f"{args.model_type}_results_{int(time.time())}.json")
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    logger.info("results -> %s (best: %s)", out_path, best)
+    return results
+
+
+if __name__ == "__main__":
+    main()

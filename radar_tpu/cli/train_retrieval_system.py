@@ -1,0 +1,121 @@
+"""Retrieval-system training CLI — flag parity with the reference's
+``train_retrieval_system.py:327-335`` (``--contribution {2.1,2.2,2.3,
+all}``, ``--epochs``) but training *real* models (the reference trains
+toy stand-ins on random tensors — SURVEY.md §0.2.3):
+
+  2.1  cross-modal embedder (image<->text InfoNCE)
+  2.2  knowledge fusion (supervised conflict detection + fidelity)
+  2.3  report decoder LM (teacher-forced next-token on reports)
+
+Usage:
+    python -m radar_tpu.cli.train_retrieval_system --contribution all \
+        --synthetic --tiny --epochs 2
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..core.checkpoint import save_params
+from ..core.logging import get_logger
+from ..data.tokenizer import Tokenizer
+from .common import (add_common_args, add_data_args,
+                     batch_iterator_factory, build_datasets, load_config)
+
+logger = get_logger("radar_tpu.train_retrieval")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Train RADAR retrieval system (TPU-native)")
+    parser.add_argument("--contribution",
+                        choices=["2.1", "2.2", "2.3", "all"],
+                        default="all")
+    parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--learning_rate", type=float, default=None)
+    parser.add_argument("--output_dir", type=str,
+                        default="./checkpoints/retrieval_system/")
+    add_data_args(parser)
+    add_common_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    datasets = build_datasets(args, cfg, tokenizer, ("train",))
+    train_ds = datasets["train"]
+    bs = cfg.train.batch_size
+    os.makedirs(args.output_dir, exist_ok=True)
+    results = {}
+    contributions = (["2.1", "2.2", "2.3"]
+                     if args.contribution == "all"
+                     else [args.contribution])
+
+    labels = np.stack([train_ds[i]["labels"]
+                       for i in range(len(train_ds))])
+
+    if "2.1" in contributions:
+        from ..retrieval.training import (retrieval_alignment,
+                                          train_embedder)
+        t0 = time.time()
+        factory = batch_iterator_factory(train_ds, bs, shuffle=True)
+        module, params, history = train_embedder(cfg, factory)
+        acc = retrieval_alignment(module, params, factory)
+        save_params(os.path.join(args.output_dir, "embedder"),
+                    {"params": params})
+        results["2.1"] = {"history": history,
+                          "alignment_top1": acc,
+                          "seconds": round(time.time() - t0, 2)}
+        logger.info("2.1 embedder: alignment_top1=%.3f", acc)
+
+    if "2.2" in contributions:
+        from ..fusion.training import train_fusion
+        t0 = time.time()
+        module, params, history = train_fusion(cfg, labels,
+                                               batch_size=min(bs, 16))
+        save_params(os.path.join(args.output_dir, "fusion"),
+                    {"params": params})
+        results["2.2"] = {"history": history,
+                          "final_conflict_acc":
+                              history[-1]["conflict_acc"],
+                          "seconds": round(time.time() - t0, 2)}
+
+    if "2.3" in contributions:
+        from ..models.lm_training import make_lm_examples, train_decoder_lm
+        t0 = time.time()
+        contexts = [train_ds[i]["clinical_context"]
+                    for i in range(len(train_ds))]
+        reports = [train_ds[i]["report"] for i in range(len(train_ds))]
+        ids, attn, lmask = make_lm_examples(
+            contexts, reports, tokenizer, cfg.decoder.max_length)
+
+        def batches():
+            for s in range(0, len(ids) - bs + 1, bs):
+                yield {"input_ids": ids[s:s + bs],
+                       "attention_mask": attn[s:s + bs],
+                       "loss_mask": lmask[s:s + bs]}
+
+        module, params, history = train_decoder_lm(cfg, batches)
+        save_params(os.path.join(args.output_dir, "decoder"),
+                    {"params": params})
+        results["2.3"] = {"history": history,
+                          "final_perplexity": history[-1]["perplexity"],
+                          "seconds": round(time.time() - t0, 2)}
+
+    out_path = os.path.join(args.output_dir,
+                            f"training_results_{int(time.time())}.json")
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=2, default=str)
+    logger.info("results -> %s", out_path)
+    return results
+
+
+if __name__ == "__main__":
+    main()

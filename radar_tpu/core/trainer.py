@@ -1,0 +1,184 @@
+"""High-level expert-model training loops.
+
+The semantics of the reference's per-variant loops
+(``train_expert_models.py:231-428``): AdamW + cosine schedule, BCE (or
+hierarchical / two-phase contrastive) objective, per-epoch validation,
+best-macro-F1 checkpointing — rebuilt over jitted sharded steps, with
+post-hoc temperature calibration and threshold fitting for the
+uncertainty variant (which the reference leaves to inference time).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..eval.metrics import f1_scores
+from ..models import losses as L
+from ..models.experts import create_model
+from ..models.uncertainty import calibrate_temperature, fit_thresholds
+from .checkpoint import CheckpointManager
+from .config import RadarConfig
+from .logging import MetricWriter, get_logger
+from .mesh import shard_batch
+from .training import (baseline_loss_fn, compute_dtype, create_train_state,
+                       contrastive_pretrain_loss_fn, gnn_loss_fn,
+                       make_eval_step, make_train_step, make_optimizer,
+                       replicate_state, TrainState)
+
+logger = get_logger("radar_tpu.trainer")
+
+
+def loss_fn_for(model_type: str, config: RadarConfig) -> Callable:
+    if model_type == "gnn":
+        return gnn_loss_fn(config.expert)
+    return baseline_loss_fn  # baseline / uncertainty / contrastive-finetune
+
+
+def evaluate_classifier(eval_step, params, dataset_batches,
+                        mesh=None, thresholds: np.ndarray | None = None
+                        ) -> dict:
+    """Collect logits over a split and compute classification metrics."""
+    all_logits, all_labels = [], []
+    for batch in dataset_batches:
+        b = shard_batch(mesh, batch) if mesh is not None else batch
+        logits = eval_step(params, b)
+        all_logits.append(np.asarray(logits))
+        all_labels.append(np.asarray(batch["labels"]))
+    if not all_logits:
+        return {"macro_f1": 0.0}
+    logits = np.concatenate(all_logits)
+    labels = np.concatenate(all_labels)
+    probs = jax.nn.sigmoid(jnp.asarray(logits))
+    th = jnp.asarray(thresholds) if thresholds is not None else 0.5
+    preds = (probs > th).astype(jnp.float32)
+    metrics = {k: (float(v) if np.ndim(v) == 0 else np.asarray(v))
+               for k, v in f1_scores(preds, jnp.asarray(labels)).items()}
+    metrics["num_samples"] = int(labels.shape[0])
+    metrics["_logits"] = logits
+    metrics["_labels"] = labels
+    return metrics
+
+
+class ExpertTrainer:
+    def __init__(self, model_type: str, config: RadarConfig,
+                 mesh=None, checkpoint_dir: str | None = None):
+        self.model_type = model_type
+        self.config = config
+        self.mesh = mesh
+        dtype = compute_dtype(config.train)
+        self.model = create_model(model_type, config.vision, config.text,
+                                  config.expert, dtype=dtype,
+                                  remat=config.train.remat)
+        self.ckpt = (CheckpointManager(checkpoint_dir,
+                                       config.train.keep_checkpoints)
+                     if checkpoint_dir else None)
+        self.history: list[dict] = []
+
+    # ------------------------------------------------------------------
+    def fit(self, train_batches: Callable[[], Iterable[dict]],
+            val_batches: Callable[[], Iterable[dict]] | None = None,
+            steps_per_epoch: int = 100,
+            metric_writer: MetricWriter | None = None) -> TrainState:
+        cfg = self.config.train
+        rng = jax.random.key(cfg.seed)
+        sample = next(iter(train_batches()))
+
+        state = create_train_state(self.model, rng, sample, cfg,
+                                   steps_per_epoch)
+        if self.mesh is not None:
+            state = replicate_state(state, self.mesh)
+
+        # optional contrastive pretrain phase
+        if self.model_type == "contrastive" and cfg.pretrain_epochs > 0:
+            state = self._pretrain_contrastive(state, train_batches, rng)
+
+        loss_fn = loss_fn_for(self.model_type, self.config)
+        train_step = make_train_step(self.model, loss_fn, self.mesh)
+        eval_step = make_eval_step(self.model, self.mesh)
+        best_f1 = -1.0
+
+        for epoch in range(cfg.num_epochs):
+            losses = []
+            for batch in train_batches():
+                b = (shard_batch(self.mesh, batch)
+                     if self.mesh is not None else batch)
+                state, metrics = train_step(state, b, rng)
+                losses.append(float(metrics["loss"]))
+            record = {"epoch": epoch,
+                      "train_loss": float(np.mean(losses))}
+
+            if val_batches is not None:
+                val = evaluate_classifier(eval_step, state.params,
+                                          val_batches(), self.mesh)
+                record["val_macro_f1"] = val["macro_f1"]
+                record["val_micro_f1"] = val["micro_f1"]
+                if self.ckpt and val["macro_f1"] > best_f1:
+                    best_f1 = val["macro_f1"]
+                    self.ckpt.save_if_best(
+                        int(jax.device_get(state.step)),
+                        jax.device_get(state.params),
+                        "macro_f1", val["macro_f1"])
+            logger.info("epoch %d: %s", epoch,
+                        {k: round(v, 4) for k, v in record.items()
+                         if isinstance(v, float)})
+            if metric_writer:
+                metric_writer.write(epoch, record)
+            self.history.append(record)
+
+        # post-hoc calibration for the uncertainty variant
+        if (self.model_type == "uncertainty" and val_batches is not None):
+            state = self._calibrate(state, eval_step, val_batches)
+        return state
+
+    # ------------------------------------------------------------------
+    def _pretrain_contrastive(self, state, train_batches, rng):
+        cfg = self.config.train
+        logger.info("contrastive pretrain: %d epochs",
+                    cfg.pretrain_epochs)
+        pre_loss = contrastive_pretrain_loss_fn(self.config.expert)
+        pre_step = make_train_step(self.model, pre_loss, self.mesh)
+        # fresh optimizer for the pretrain phase
+        for epoch in range(cfg.pretrain_epochs):
+            losses = []
+            for batch in train_batches():
+                b = (shard_batch(self.mesh, batch)
+                     if self.mesh is not None else batch)
+                state, metrics = pre_step(state, b, rng)
+                losses.append(float(metrics["loss"]))
+            logger.info("pretrain epoch %d: loss %.4f", epoch,
+                        float(np.mean(losses)))
+            self.history.append({"pretrain_epoch": epoch,
+                                 "pretrain_loss": float(np.mean(losses))})
+        # reset optimizer state for finetuning, keep params
+        tx = make_optimizer(cfg, max(1, len(self.history)))
+        return TrainState.create(apply_fn=state.apply_fn,
+                                 params=state.params, tx=tx)
+
+    # ------------------------------------------------------------------
+    def _calibrate(self, state, eval_step, val_batches):
+        """Fit temperature (LBFGS on val NLL) and per-class thresholds,
+        writing them back into the params."""
+        val = evaluate_classifier(eval_step, state.params, val_batches(),
+                                  self.mesh)
+        logits = jnp.asarray(val["_logits"])
+        labels = jnp.asarray(val["_labels"])
+        temp = calibrate_temperature(
+            logits, labels, self.config.expert.init_temperature)
+        probs = jax.nn.sigmoid(logits / temp)
+        thresholds = fit_thresholds(probs, labels)
+        params = jax.device_get(state.params)
+        params["temperature"] = jnp.asarray(temp)
+        params["thresholds"] = jnp.asarray(thresholds)
+        logger.info("calibrated temperature=%.3f", float(temp))
+        state = state.replace(params=params)
+        if self.mesh is not None:
+            state = replicate_state(state, self.mesh)
+        if self.ckpt:
+            self.ckpt.save(int(jax.device_get(state.step)) + 1,
+                           jax.device_get(state.params),
+                           metrics={"calibrated": 1.0})
+        return state

@@ -1,0 +1,202 @@
+"""Retrieval / fusion / RAG evaluation — the metric vocabulary of the
+reference's ``evaluate_retrieval_system.py`` with **measured** numbers.
+
+The reference retrieves randomly, computes these formulas, then throws
+the results away and returns hard-coded constants (``:222-251``,
+``:295-307``, ``:352-368`` — SURVEY.md §0.2.2; ``evaluation.json`` is a
+copy of those literals).  Every number produced here is computed from
+actual model outputs; metric names match ``evaluation.json`` so
+artifacts are comparable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..core import constants
+from ..core.logging import get_logger
+from ..pipeline.observations import ObservationDetector
+from ..pipeline.rag import IterativeRAG
+from . import metrics as M
+
+logger = get_logger("radar_tpu.retrieval_eval")
+
+
+# --------------------------------------------------------------------------
+# 2.1 — dense retrieval
+# --------------------------------------------------------------------------
+
+
+def relevance_sets(query_labels: np.ndarray,
+                   passage_labels: np.ndarray,
+                   min_overlap: int = 1) -> list[set[int]]:
+    """Relevant passages for each query = those sharing >= min_overlap
+    positive observations (excluding 'No Finding'-only matches)."""
+    q = query_labels[:, :13]  # ignore "No Finding" for overlap
+    p = passage_labels[:, :13]
+    inter = q @ p.T
+    out = []
+    for row in inter:
+        out.append({int(i) for i in np.nonzero(row >= min_overlap)[0]})
+    return out
+
+
+class DPREvaluator:
+    """Measured retrieval quality of a DensePassageRetrieval system."""
+
+    def __init__(self, dpr):
+        self.dpr = dpr
+
+    def evaluate(self, query_texts: list[str],
+                 query_labels: np.ndarray,
+                 passage_labels: np.ndarray,
+                 query_images: list | None = None,
+                 ks: tuple[int, ...] = (5, 10)) -> dict:
+        max_k = max(ks)
+        retrieved = []
+        q_emb = self.dpr.embedder.embed_texts(query_texts)
+        _, ids = self.dpr.index.search(q_emb, k=max_k)
+        retrieved = [row[row >= 0] for row in ids]
+        relevant = relevance_sets(query_labels, passage_labels)
+        report = M.retrieval_report(retrieved, relevant, ks)
+        report["num_queries"] = len(query_texts)
+        report["num_passages"] = int(self.dpr.index.count)
+
+        if query_images is not None:
+            qi_emb = self.dpr.embedder.embed_images(query_images)
+            _, iids = self.dpr.index.search(qi_emb, k=max_k)
+            img_retrieved = [row[row >= 0] for row in iids]
+            img_report = M.retrieval_report(img_retrieved, relevant, ks)
+            report.update({f"image_{k}": v for k, v in img_report.items()})
+        return report
+
+
+# --------------------------------------------------------------------------
+# 2.2 — knowledge fusion
+# --------------------------------------------------------------------------
+
+
+class FusionEvaluator:
+    """Measured fusion quality: conflict detection P/R/F1 on held-out
+    synthesized conflicts + fused-report text metrics + completeness."""
+
+    def __init__(self, module, params):
+        self.module = module
+        self.params = params
+
+    def evaluate_conflicts(self, labels: np.ndarray, hidden: int,
+                           seq_len: int = 8, seed: int = 1) -> dict:
+        import jax.numpy as jnp
+
+        from ..fusion.training import synthesize_fusion_batch
+        rng = np.random.default_rng(seed)
+        batch = synthesize_fusion_batch(labels, hidden, seq_len, rng)
+        out = self.module.apply({"params": self.params},
+                                jnp.asarray(batch["pf"]),
+                                jnp.asarray(batch["sf"]))
+        pred = np.asarray(out["conflict_scores"]) > 0.5
+        target = batch["conflict_target"] > 0.5
+        tp = int((pred & target).sum())
+        fp = int((pred & ~target).sum())
+        fn = int((~pred & target).sum())
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-8)
+        return {"conflict_detection_f1": f1,
+                "conflict_detection_precision": precision,
+                "conflict_detection_recall": recall}
+
+    @staticmethod
+    def evaluate_reports(fused_reports: list[str],
+                         reference_reports: list[str]) -> dict:
+        """BLEU-1/2 + ROUGE-L of fused reports vs references, and
+        observation completeness."""
+        det = ObservationDetector()
+        bleu1 = np.mean([M.bleu(c, [r], 1) for c, r in
+                         zip(fused_reports, reference_reports)])
+        bleu2 = np.mean([M.bleu(c, [r], 2) for c, r in
+                         zip(fused_reports, reference_reports)])
+        rouge = np.mean([M.rouge_l(c, r) for c, r in
+                         zip(fused_reports, reference_reports)])
+        completeness = []
+        for c, r in zip(fused_reports, reference_reports):
+            ref_obs = det.detect_observations(r)
+            if not ref_obs:
+                continue
+            got = det.detect_observations(c)
+            completeness.append(len(got & ref_obs) / len(ref_obs))
+        return {"bleu_1": float(bleu1), "bleu_2": float(bleu2),
+                "rouge_l": float(rouge),
+                "report_completeness": float(np.mean(completeness))
+                if completeness else 0.0}
+
+
+# --------------------------------------------------------------------------
+# 2.3 — iterative RAG
+# --------------------------------------------------------------------------
+
+
+class RAGEvaluator:
+    """Measured iterative-RAG quality over an evaluation set."""
+
+    def __init__(self, rag: IterativeRAG, embed_fn=None):
+        self.rag = rag
+        self.embed_fn = embed_fn  # optional texts->embeddings for sem-sim
+        self.detector = ObservationDetector()
+
+    def evaluate(self, samples: list[dict], retrieval_fn,
+                 generation_fn_factory) -> dict:
+        """``samples``: dicts with 'initial_findings' and 'reference'.
+        ``generation_fn_factory(sample) -> generation_fn``."""
+        max_iters = self.rag.config.max_iterations
+        completeness_per_iter = [[] for _ in range(max_iters)]
+        final_completeness, consistencies, iterations = [], [], []
+        converged = 0
+        finals, references = [], []
+
+        for sample in samples:
+            gen_fn = generation_fn_factory(sample)
+            result = self.rag.generate_with_iterative_retrieval(
+                sample["initial_findings"], retrieval_fn, gen_fn,
+                reference_text=sample["reference"])
+            ref_obs = self.detector.detect_observations(
+                sample["reference"])
+            for it, text in enumerate(result["generations"]):
+                if not ref_obs:
+                    continue
+                got = self.detector.detect_observations(text)
+                c = len(got & ref_obs) / len(ref_obs)
+                completeness_per_iter[it].append(c)
+            if ref_obs:
+                got = self.detector.detect_observations(
+                    result["final_text"])
+                fc = len(got & ref_obs) / len(ref_obs)
+                final_completeness.append(fc)
+                if fc >= 0.999:
+                    converged += 1
+            consistencies.append(result["consistency_score"])
+            iterations.append(result["num_iterations"])
+            finals.append(result["final_text"])
+            references.append(sample["reference"])
+
+        out = {
+            "completeness": float(np.mean(final_completeness))
+            if final_completeness else 0.0,
+            "consistency": float(np.mean(consistencies)),
+            "average_iterations": float(np.mean(iterations)),
+            "convergence_rate": converged / max(len(samples), 1),
+            "generation_quality": float(np.mean(
+                [M.rouge_l(f, r) for f, r in zip(finals, references)])),
+        }
+        for i in range(max_iters):
+            vals = completeness_per_iter[i]
+            out[f"iteration_{i + 1}_completeness"] = (
+                float(np.mean(vals)) if vals else None)
+        if self.embed_fn is not None and finals:
+            fe = self.embed_fn(finals)
+            re = self.embed_fn(references)
+            sims = (fe * re).sum(axis=-1) / (
+                np.linalg.norm(fe, axis=-1)
+                * np.linalg.norm(re, axis=-1) + 1e-8)
+            out["semantic_similarity"] = float(np.mean(sims))
+        return out

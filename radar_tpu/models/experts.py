@@ -308,6 +308,11 @@ class ContrastiveExpert(nn.Module):
                  deterministic: bool = True):
         v, t = self.towers(pixel_values, input_ids, attention_mask,
                            deterministic=deterministic)
+        # touch the projection heads so a plain init materialises every
+        # param; XLA dead-code-eliminates them when the outputs are
+        # unused by the caller
+        self.image_projection(v)
+        self.text_projection(t)
         feats = jnp.concatenate([v, t], axis=-1)
         return self.classifier(feats, deterministic=deterministic)
 

@@ -1,0 +1,100 @@
+"""Report-decoder LM training (contribution 2.3's generation stage) —
+*real*, unlike the reference's LSTM stand-in on random tensors
+(``train_retrieval_system.py:191-200`` — SURVEY.md §0.2.3).
+
+Teacher-forced next-token prediction on ``context [SEP] report`` token
+streams, optionally conditioned on an image-embedding prefix — this is
+the model the iterative-RAG loop drives at inference.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import RadarConfig
+from ..core.logging import get_logger
+from ..core.training import make_optimizer
+from ..data.tokenizer import SEP, Tokenizer
+from .decoder import ReportDecoder, lm_loss
+
+logger = get_logger("radar_tpu.lm")
+
+
+def make_lm_examples(contexts: list[str], reports: list[str],
+                     tokenizer: Tokenizer, max_length: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Token streams ``context [SEP] report [SEP]`` with a loss mask
+    covering only the report span."""
+    ids_all, attn_all, loss_mask_all = [], [], []
+    for ctx, rep in zip(contexts, reports):
+        ctx_ids, _ = tokenizer.encode(ctx, max_length // 2)
+        ctx_len = int((ctx_ids != 0).sum())
+        rep_ids, _ = tokenizer.encode(rep, max_length - ctx_len)
+        rep_ids = rep_ids[1:]  # drop the leading [CLS]
+        rep_len = int((rep_ids != 0).sum())
+        ids = np.zeros(max_length, np.int32)
+        ids[:ctx_len] = ctx_ids[:ctx_len]
+        ids[ctx_len:ctx_len + rep_len] = rep_ids[:rep_len]
+        attn = np.zeros(max_length, np.int32)
+        attn[:ctx_len + rep_len] = 1
+        lmask = np.zeros(max_length, np.int32)
+        lmask[ctx_len:ctx_len + rep_len] = 1
+        ids_all.append(ids)
+        attn_all.append(attn)
+        loss_mask_all.append(lmask)
+    return (np.stack(ids_all), np.stack(attn_all),
+            np.stack(loss_mask_all))
+
+
+def train_decoder_lm(config: RadarConfig,
+                     batches: Callable[[], Iterable[dict]],
+                     num_epochs: int | None = None, seed: int = 0):
+    """Train the ReportDecoder. ``batches()`` yields dicts with
+    input_ids/attention_mask/loss_mask (+ optional prefix_embedding).
+    Returns (module, params, history)."""
+    module = ReportDecoder(config.decoder)
+    sample = next(iter(batches()))
+    prefix = sample.get("prefix_embedding")
+    if prefix is None:
+        prefix = jnp.zeros((sample["input_ids"].shape[0],
+                            config.decoder.prefix_dim), jnp.float32)
+    params = module.init(jax.random.key(seed),
+                         jnp.asarray(sample["input_ids"]),
+                         jnp.asarray(sample["attention_mask"]),
+                         jnp.asarray(prefix))["params"]
+    tx = make_optimizer(config.train)
+    opt_state = tx.init(params)
+
+    def loss_fn(params, batch):
+        pe = batch.get("prefix_embedding")
+        logits = module.apply({"params": params}, batch["input_ids"],
+                              batch["attention_mask"], pe)
+        if pe is not None:
+            logits = logits[:, 1:]  # drop the prefix position
+        return lm_loss(logits, batch["input_ids"], batch["loss_mask"])
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    epochs = num_epochs or config.train.num_epochs
+    history = []
+    for epoch in range(epochs):
+        losses = []
+        for batch in batches():
+            batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        history.append({"epoch": epoch, "loss": float(np.mean(losses)),
+                        "perplexity": float(np.exp(np.mean(losses)))})
+        logger.info("decoder epoch %d: loss %.4f ppl %.1f", epoch,
+                    history[-1]["loss"], history[-1]["perplexity"])
+    return module, params, history

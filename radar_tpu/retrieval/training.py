@@ -1,0 +1,96 @@
+"""Retrieval-system training (contribution 2.1) — *real*, unlike the
+reference's placeholder 3-layer-MLP "DPR" trained on ``torch.randn``
+with a degenerate ``-mean(sum(e*e))`` loss
+(``train_retrieval_system.py:152-162,236`` — SURVEY.md §0.2.3).
+
+The cross-modal embedder is trained with symmetric InfoNCE over real
+(image, report) pairs so image and text of the same study embed
+nearby — the objective that makes ``retrieve_for_image`` work.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core.config import RadarConfig
+from ..core.logging import get_logger
+from ..core.training import make_optimizer
+from ..models.losses import contrastive_loss
+from .embedder import CrossModalEmbedder
+
+logger = get_logger("radar_tpu.retrieval.train")
+
+
+def train_embedder(config: RadarConfig,
+                   batches: Callable[[], Iterable[dict]],
+                   num_epochs: int | None = None,
+                   rng: jax.Array | None = None,
+                   mesh=None) -> tuple[CrossModalEmbedder, dict, list]:
+    """Train the cross-modal embedder with image<->text InfoNCE.
+
+    ``batches()`` yields dicts with pixel_values/input_ids/
+    attention_mask (/labels, used for hard-negative mining when
+    present). Returns (module, params, history).
+    """
+    rng = rng if rng is not None else jax.random.key(config.train.seed)
+    module = CrossModalEmbedder(config.vision, config.text,
+                                config.retrieval)
+    sample = next(iter(batches()))
+    params = module.init(rng, sample["pixel_values"],
+                         sample["input_ids"],
+                         sample["attention_mask"])["params"]
+    epochs = num_epochs or config.train.num_epochs
+    tx = make_optimizer(config.train)
+    opt_state = tx.init(params)
+
+    temperature = 14.0  # fixed logit scale for embedder training
+
+    def loss_fn(params, batch):
+        img, txt = module.apply({"params": params},
+                                batch["pixel_values"],
+                                batch["input_ids"],
+                                batch["attention_mask"])
+        labels = batch.get("labels")
+        loss, parts = contrastive_loss(img, txt, temperature, labels,
+                                       config.expert)
+        return loss, parts
+
+    @jax.jit
+    def step(params, opt_state, batch):
+        (loss, parts), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    history = []
+    for epoch in range(epochs):
+        losses = []
+        for batch in batches():
+            params, opt_state, loss = step(params, opt_state, batch)
+            losses.append(float(loss))
+        mean_loss = float(np.mean(losses))
+        history.append({"epoch": epoch, "loss": mean_loss})
+        logger.info("embedder epoch %d: loss %.4f", epoch, mean_loss)
+    return module, params, history
+
+
+def retrieval_alignment(module, params, batches) -> float:
+    """Top-1 image→text alignment accuracy within batches (a quick
+    training-quality proxy)."""
+    correct = total = 0
+    apply = jax.jit(lambda p, pv, ids, m: module.apply(
+        {"params": p}, pv, ids, m))
+    for batch in batches():
+        img, txt = apply(params, batch["pixel_values"],
+                         batch["input_ids"], batch["attention_mask"])
+        sim = np.asarray(img @ txt.T)
+        correct += int((sim.argmax(axis=1)
+                        == np.arange(sim.shape[0])).sum())
+        total += sim.shape[0]
+    return correct / max(total, 1)

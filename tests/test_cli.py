@@ -1,0 +1,87 @@
+"""CLI smoke tests: every entry point runs end-to-end on synthetic tiny
+configs, produces its artifacts, and real training signals appear."""
+
+import json
+import os
+
+import pytest
+
+pytestmark = pytest.mark.filterwarnings("ignore")
+
+
+def test_train_and_evaluate_expert_models(tmp_path):
+    from radar_tpu.cli.evaluate_expert_models import main as eval_main
+    from radar_tpu.cli.train_expert_models import main as train_main
+    out = str(tmp_path / "ckpt")
+    r = train_main(["--model_type", "baseline", "--synthetic", "--tiny",
+                    "--epochs", "2", "--synthetic_size", "48",
+                    "--output_dir", out])
+    assert r["best"] is not None
+    assert os.path.exists(os.path.join(out, "baseline"))
+    results = eval_main(["--model_type", "baseline", "--synthetic",
+                         "--tiny", "--synthetic_size", "48",
+                         "--checkpoint_dir", out, "--output_path",
+                         str(tmp_path / "cmp.json")])
+    assert "baseline" in results
+    assert 0.0 <= results["baseline"]["macro_f1"] <= 1.0
+    saved = json.load(open(tmp_path / "cmp.json"))
+    assert "results" in saved
+
+
+def test_train_uncertainty_calibrates(tmp_path):
+    from radar_tpu.cli.train_expert_models import main as train_main
+    r = train_main(["--model_type", "uncertainty", "--synthetic",
+                    "--tiny", "--epochs", "1", "--synthetic_size", "32",
+                    "--output_dir", str(tmp_path / "ckpt")])
+    assert r["history"]
+
+
+def test_retrieval_system_train_eval(tmp_path):
+    from radar_tpu.cli.evaluate_retrieval_system import main as eval_main
+    from radar_tpu.cli.train_retrieval_system import main as train_main
+    ckpt = str(tmp_path / "retr")
+    r = train_main(["--contribution", "2.2", "--synthetic", "--tiny",
+                    "--epochs", "2", "--synthetic_size", "32",
+                    "--output_dir", ckpt])
+    assert r["2.2"]["final_conflict_acc"] > 0.6  # real learning signal
+    res = eval_main(["--contribution", "2.1", "--synthetic", "--tiny",
+                     "--synthetic_size", "32", "--num_queries", "8",
+                     "--checkpoint_dir", ckpt, "--output_path",
+                     str(tmp_path / "evaluation.json")])
+    rep = res["contribution_2_1_dpr"]
+    for key in ("mean_reciprocal_rank", "retrieval_accuracy@5",
+                "precision@5", "ndcg@5"):
+        assert 0.0 <= rep[key] <= 1.0
+    payload = json.load(open(tmp_path / "evaluation.json"))
+    assert payload["measured"] is True
+
+
+def test_rag_evaluation_runs(tmp_path):
+    from radar_tpu.cli.evaluate_retrieval_system import main as eval_main
+    res = eval_main(["--contribution", "2.3", "--synthetic", "--tiny",
+                     "--synthetic_size", "32", "--num_queries", "6",
+                     "--checkpoint_dir", str(tmp_path / "none"),
+                     "--output_path", str(tmp_path / "rag.json")])
+    rep = res["contribution_2_3_rag"]
+    assert rep["average_iterations"] >= 1.0
+    assert 0.0 <= rep["completeness"] <= 1.0
+    assert rep["iteration_1_completeness"] is not None
+
+
+def test_demo_expert_models():
+    from radar_tpu.cli.demo_expert_models import main
+    assert main([]) == 0
+
+
+def test_data_prep_cli(tmp_path):
+    import pandas as pd
+    from radar_tpu.cli.data_prep import main
+    csv = tmp_path / "df.csv"
+    pd.DataFrame([
+        {"id": "a", "path": "x.jpg", "findings": "cardiomegaly seen"},
+        {"id": "b", "path": "y.jpg", "findings": "no acute process"},
+    ]).to_csv(csv, index=False)
+    summary = main(["--csv", str(csv), "--output",
+                    str(tmp_path / "out")])
+    assert summary["num_records"] == 2
+    assert os.path.exists(tmp_path / "out" / "annotation.json")

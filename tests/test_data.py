@@ -1,0 +1,144 @@
+"""Data-layer tests: tokenizer, JSON recovery, ETL prep, real-dataset
+loading, device preprocessing."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from radar_tpu.data.dataset import (ExpertModelDataset,
+                                    construct_clinical_context,
+                                    labels_from_observations,
+                                    load_json_with_recovery,
+                                    preprocess_images)
+from radar_tpu.data.prep import (FindingsExtractor, identify_columns,
+                                 findings_to_observations,
+                                 prepare_dataset)
+from radar_tpu.data.tokenizer import Tokenizer
+
+
+def test_tokenizer_roundtrip(tokenizer):
+    text = "Cardiomegaly with enlarged cardiac silhouette"
+    ids, mask = tokenizer.encode(text, 16)
+    assert ids.shape == (16,) and mask.shape == (16,)
+    assert mask.sum() == len(text.lower().split()) + 2  # CLS + SEP
+    decoded = tokenizer.decode(ids)
+    assert decoded == text.lower()
+
+
+def test_tokenizer_truncation_and_persistence(tokenizer, tmp_path):
+    long_text = " ".join(["edema"] * 100)
+    ids, mask = tokenizer.encode(long_text, 8)
+    assert mask.sum() == 8 and ids[-1] == 2  # ends with SEP
+    path = str(tmp_path / "vocab.json")
+    tokenizer.save(path)
+    tok2 = Tokenizer.load(path)
+    assert tok2.vocab == tokenizer.vocab
+
+
+def test_json_recovery(tmp_path):
+    good = {"a": {"b": [1, 2, 3]}, "c": "x"}
+    p = tmp_path / "trunc.json"
+    full = json.dumps(good)
+    p.write_text(full[: len(full) - 8])  # truncate mid-structure
+    recovered = load_json_with_recovery(str(p))
+    assert isinstance(recovered, dict)
+    p2 = tmp_path / "ok.json"
+    p2.write_text(full)
+    assert load_json_with_recovery(str(p2)) == good
+
+
+def test_findings_extractor():
+    report = ("There is a small right pleural effusion and mild "
+              "cardiomegaly. Endotracheal tube in place. No pneumothorax.")
+    found = FindingsExtractor.extract_findings(report)
+    assert "pleural_effusion" in found
+    assert "cardiomegaly" in found
+    assert "endotracheal_tube" in found
+    assert "pneumothorax" in found  # substring matching (as reference)
+    obs = findings_to_observations(found)
+    assert "Pleural Effusion" in obs and "Support Devices" in obs
+    assert FindingsExtractor.extract_findings("") == []
+
+
+def test_identify_columns():
+    cols = identify_columns(["Subject_ID", "Image_Path", "Report_Text"])
+    assert cols["id"] == "Subject_ID"
+    assert cols["image"] == "Image_Path"
+    assert cols["report"] == "Report_Text"
+
+
+def test_prepare_dataset_and_load(tmp_path):
+    import pandas as pd
+    rows = []
+    reports = [
+        "Mild cardiomegaly. Small pleural effusion.",
+        "No acute process. Normal exam.",
+        "Right lower lobe pneumonia with consolidation.",
+        "Pneumothorax after procedure. Chest tube placed.",
+        "Pulmonary edema and enlarged heart.",
+        "Fracture of the left 5th rib.",
+        "Atelectasis at the left base.",
+        "Clear lungs. No evidence of effusion.",
+    ] * 4
+    for i, rep in enumerate(reports):
+        rows.append({"study_id": f"s{i:04d}",
+                     "image_path": f"images/s{i:04d}.jpg",
+                     "report": rep})
+    csv = tmp_path / "Cxr_df.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+
+    out = tmp_path / "prepared"
+    summary = prepare_dataset(str(csv), str(out))
+    assert summary["num_records"] == 32
+    assert summary["splits"]["train"] == 25
+    assert (out / "annotation.json").exists()
+    assert (out / "observation.json").exists()
+    assert summary["findings_stats"]["cardiomegaly"] >= 4
+
+    # generate tiny images so the dataset can load them
+    from PIL import Image
+    os.makedirs(out / "images", exist_ok=True)
+    for i in range(len(rows)):
+        Image.fromarray(
+            (np.random.default_rng(i).random((32, 32, 3)) * 255
+             ).astype(np.uint8)).save(out / f"images/s{i:04d}.jpg")
+
+    tok = Tokenizer.clinical_default()
+    ds = ExpertModelDataset(
+        str(out), str(out / "annotation.json"),
+        str(out / "clinical_context.json"),
+        str(out / "observation.json"), tok, split="train",
+        image_size=32, max_text_length=32)
+    assert len(ds) == 25
+    sample = ds[0]
+    assert sample["image"].shape == (32, 32, 3)
+    assert sample["labels"].shape == (14,)
+    batch = next(ds.batches(4))
+    dev = ds.device_batch(batch)
+    assert dev["pixel_values"].shape == (4, 32, 32, 3)
+    assert abs(float(np.asarray(dev["pixel_values"]).mean())) < 5.0
+
+
+def test_preprocess_images_resize():
+    imgs = (np.random.default_rng(0).random((2, 48, 40, 3)) * 255
+            ).astype(np.uint8)
+    out = preprocess_images(imgs, 32)
+    assert out.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_construct_clinical_context():
+    ctx = {"Indication": "chest pain", "History": "", "Technique": "PA"}
+    s = construct_clinical_context(ctx)
+    assert "Indication: chest pain" in s and "Technique: PA" in s
+    assert "History" not in s
+    assert construct_clinical_context({}) == \
+        "No clinical context available."
+
+
+def test_labels_from_observations():
+    lab = labels_from_observations(["Cardiomegaly", "Unknown Thing",
+                                    "No Finding"])
+    assert lab[1] == 1.0 and lab[13] == 1.0 and lab.sum() == 2.0
