@@ -51,12 +51,21 @@ def dot_product_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         sequence/head dims are tile-aligned; True forces it; False
         disables it.
     """
+    # Measured on v5e (see bench notes in ops/flash_attention.py): at the
+    # sequence lengths this framework runs (ViT S=197, text/decoder
+    # S<=512), XLA's batched-einsum attention reaches ~50-60% MFU and
+    # the per-program granularity of the Pallas kernel does not pay off;
+    # the kernel is therefore explicit opt-in (use_pallas=True or
+    # RADAR_USE_PALLAS=1), retained for long-context decode paths.
+    import os
     route_pallas = (
-        use_pallas is True
-        or (use_pallas == "auto" and _pallas_available()
-            and q.shape[-2] >= 256 and q.shape[-1] in (64, 128)
-            and q.shape[-2] % 128 == 0 and k.shape[-2] % 128 == 0
-            and mask is None)
+        (use_pallas is True
+         or (use_pallas == "auto"
+             and os.environ.get("RADAR_USE_PALLAS") == "1"))
+        and _pallas_available()
+        and q.shape[-1] in (64, 128)
+        and q.shape[-2] == k.shape[-2]
+        and mask is None
     )
     if route_pallas:
         from .flash_attention import flash_attention

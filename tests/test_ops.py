@@ -1,0 +1,83 @@
+"""Op-level tests: flash attention (interpret mode on CPU) vs the
+reference einsum attention, and the routing layer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu.ops.attention import dot_product_attention
+from radar_tpu.ops.flash_attention import _reference, flash_attention
+
+
+@pytest.mark.parametrize("shape,causal", [
+    ((2, 4, 197, 64), False),   # ViT shape (ragged pad to 256)
+    ((2, 4, 256, 64), True),    # decoder shape
+    ((1, 2, 130, 128), False),  # head dim 128
+])
+def test_flash_matches_reference(shape, causal):
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    out = flash_attention(q, k, v, causal, interpret=True)
+    ref = _reference(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_flash_gradients_match():
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(0, 1, (1, 2, 197, 64)), jnp.float32)
+
+    def loss_flash(q):
+        return jnp.sum(flash_attention(q, q, q, False, True) ** 2)
+
+    def loss_ref(q):
+        return jnp.sum(_reference(q, q, q, False) ** 2)
+
+    g1 = jax.grad(loss_flash)(q)
+    g2 = jax.grad(loss_ref)(q)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               atol=1e-3, rtol=1e-3)
+
+
+def test_ragged_tail_masked():
+    """Padded key positions (197 -> 256 internally) must not leak."""
+    rng = np.random.default_rng(2)
+    s = 197
+    q = jnp.asarray(rng.normal(0, 1, (1, 1, s, 64)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (1, 1, s, 64)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (1, 1, s, 64)), jnp.float32)
+    out = flash_attention(q, k, v, False, interpret=True)
+    # identical first s rows when the same data is explicitly padded
+    # with huge values in the pad region (which must be ignored)
+    pad = 256 - s
+    kp = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)),
+                 constant_values=99.0)[:, :, :s, :]
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(_reference(q, kp, v, False)),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_dot_product_attention_masks():
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(0, 1, (2, 2, 8, 16)), jnp.float32)
+    # padding mask: key 7 masked out for batch 0
+    mask = jnp.ones((2, 1, 8, 8), bool).at[0, :, :, 7].set(False)
+    out = dot_product_attention(q, q, q, mask=mask)
+    # recompute with key 7's value perturbed: batch 0 must not change
+    q2 = q.at[:, :, 7, :].set(99.0)
+    out2 = dot_product_attention(q, q2, q, mask=mask)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(out2[0]),
+                               atol=1e-5)
+    assert not np.allclose(np.asarray(out[1]), np.asarray(out2[1]))
+
+
+def test_causal_masking():
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(rng.normal(0, 1, (1, 1, 6, 8)), jnp.float32)
+    out = dot_product_attention(q, q, q, causal=True)
+    # position 0 attends only to itself -> output = v[0]
+    np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
+                               np.asarray(q[0, 0, 0]), atol=1e-5)
