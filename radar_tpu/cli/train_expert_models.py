@@ -41,6 +41,10 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--pretrain_epochs", type=int, default=None)
     parser.add_argument("--output_dir", type=str,
                         default="./checkpoints/expert_models/")
+    parser.add_argument("--resume", action="store_true",
+                        help="Resume from the latest full train state")
+    parser.add_argument("--profile_dir", type=str, default=None,
+                        help="Capture a jax.profiler trace of one epoch")
     add_common_args(parser)
     return parser
 
@@ -62,12 +66,14 @@ def main(argv=None) -> dict:
 
     bs = cfg.train.batch_size
     t0 = time.time()
-    trainer.fit(
-        batch_iterator_factory(datasets["train"], bs, shuffle=True,
-                               seed=cfg.train.seed),
-        batch_iterator_factory(datasets["val"], bs),
-        steps_per_epoch=steps_per_epoch(datasets["train"], bs),
-        metric_writer=writer)
+    from ..core.logging import profile_trace
+    with profile_trace(args.profile_dir):
+        trainer.fit(
+            batch_iterator_factory(datasets["train"], bs, shuffle=True,
+                                   seed=cfg.train.seed),
+            batch_iterator_factory(datasets["val"], bs),
+            steps_per_epoch=steps_per_epoch(datasets["train"], bs),
+            metric_writer=writer, resume=args.resume)
     elapsed = time.time() - t0
 
     best = trainer.ckpt.best_info() if trainer.ckpt else None

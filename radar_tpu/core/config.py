@@ -127,6 +127,7 @@ class TextConfig(ConfigBase):
     num_heads: int = 12
     mlp_ratio: float = 4.0
     dropout_rate: float = 0.0
+    arch: str = "preln"  # "preln" (TPU-native) | "bert" (HF-importable)
 
 
 @dataclass(frozen=True)

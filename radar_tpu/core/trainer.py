@@ -76,24 +76,41 @@ class ExpertTrainer:
         self.ckpt = (CheckpointManager(checkpoint_dir,
                                        config.train.keep_checkpoints)
                      if checkpoint_dir else None)
+        # full-train-state checkpoints for resume (params+optimizer+step)
+        self.resume_ckpt = (CheckpointManager(
+            checkpoint_dir + "/resume", 2) if checkpoint_dir else None)
         self.history: list[dict] = []
 
     # ------------------------------------------------------------------
     def fit(self, train_batches: Callable[[], Iterable[dict]],
             val_batches: Callable[[], Iterable[dict]] | None = None,
             steps_per_epoch: int = 100,
-            metric_writer: MetricWriter | None = None) -> TrainState:
+            metric_writer: MetricWriter | None = None,
+            resume: bool = False) -> TrainState:
+        """Train; with ``resume=True``, restore the latest full train
+        state (params + optimizer + step + epoch) and continue — the
+        capability the reference lacks (save-only, SURVEY.md §5)."""
         cfg = self.config.train
         rng = jax.random.key(cfg.seed)
         sample = next(iter(train_batches()))
 
         state = create_train_state(self.model, rng, sample, cfg,
                                    steps_per_epoch)
+        start_epoch = 0
+        if resume and self.resume_ckpt and \
+                self.resume_ckpt.latest_step() is not None:
+            payload = self.resume_ckpt.restore(
+                {"state": jax.device_get(state), "epoch": 0})
+            state = payload["state"]
+            start_epoch = int(payload["epoch"]) + 1
+            logger.info("resumed from step %s at epoch %d",
+                        int(state.step), start_epoch)
         if self.mesh is not None:
             state = replicate_state(state, self.mesh)
 
         # optional contrastive pretrain phase
-        if self.model_type == "contrastive" and cfg.pretrain_epochs > 0:
+        if (self.model_type == "contrastive" and cfg.pretrain_epochs > 0
+                and start_epoch == 0):
             state = self._pretrain_contrastive(state, train_batches, rng)
 
         loss_fn = loss_fn_for(self.model_type, self.config)
@@ -101,7 +118,7 @@ class ExpertTrainer:
         eval_step = make_eval_step(self.model, self.mesh)
         best_f1 = -1.0
 
-        for epoch in range(cfg.num_epochs):
+        for epoch in range(start_epoch, cfg.num_epochs):
             losses = []
             for batch in train_batches():
                 b = (shard_batch(self.mesh, batch)
@@ -110,6 +127,10 @@ class ExpertTrainer:
                 losses.append(float(metrics["loss"]))
             record = {"epoch": epoch,
                       "train_loss": float(np.mean(losses))}
+            if self.resume_ckpt:
+                self.resume_ckpt.save(
+                    int(jax.device_get(state.step)),
+                    {"state": jax.device_get(state), "epoch": epoch})
 
             if val_batches is not None:
                 val = evaluate_classifier(eval_step, state.params,

@@ -48,8 +48,13 @@ class _Towers(nn.Module):
     def setup(self):
         self.vision = VisionTransformer(self.vision_config, self.dtype,
                                         self.remat, name="vision")
-        self.text = TextEncoder(self.text_config, self.dtype,
-                                self.remat, name="text")
+        if self.text_config.arch == "bert":
+            from .bert import BertTextEncoder
+            self.text = BertTextEncoder(self.text_config, self.dtype,
+                                        name="text")
+        else:
+            self.text = TextEncoder(self.text_config, self.dtype,
+                                    self.remat, name="text")
 
     def __call__(self, pixel_values, input_ids, attention_mask, *,
                  deterministic: bool = True):

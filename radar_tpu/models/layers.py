@@ -30,7 +30,8 @@ class Mlp(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x)
+        # exact (erf) GELU for numerical parity with imported HF weights
+        x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)

@@ -85,3 +85,18 @@ def test_data_prep_cli(tmp_path):
                     str(tmp_path / "out")])
     assert summary["num_records"] == 2
     assert os.path.exists(tmp_path / "out" / "annotation.json")
+
+
+def test_train_resume(tmp_path):
+    """Full train-state resume: a second run with --resume continues
+    from the saved epoch instead of restarting."""
+    from radar_tpu.cli.train_expert_models import main as train_main
+    out = str(tmp_path / "ckpt")
+    common = ["--model_type", "baseline", "--synthetic", "--tiny",
+              "--synthetic_size", "32", "--output_dir", out]
+    r1 = train_main(common + ["--epochs", "2"])
+    assert len([h for h in r1["history"] if "epoch" in h]) == 2
+    # resume with a larger epoch budget: only the remaining epochs run
+    r2 = train_main(common + ["--epochs", "3", "--resume"])
+    epochs_run = [h["epoch"] for h in r2["history"] if "epoch" in h]
+    assert epochs_run == [2], epochs_run

@@ -150,3 +150,16 @@ def test_eval_step_sharded(cfg, batch, mesh_data):
     step = make_eval_step(model, mesh_data)
     logits = step(params, sbatch)
     assert logits.shape == (batch["labels"].shape[0], 14)
+
+
+def test_bert_arch_text_tower(cfg, batch):
+    """Experts accept the HF-importable BERT text tower via config."""
+    import dataclasses
+    bert_cfg = dataclasses.replace(cfg.text, arch="bert")
+    model = create_model("baseline", cfg.vision, bert_cfg, cfg.expert)
+    params = model.init(jax.random.key(0), batch["pixel_values"],
+                        batch["input_ids"], batch["attention_mask"])["params"]
+    logits = model.apply({"params": params}, batch["pixel_values"],
+                         batch["input_ids"], batch["attention_mask"])
+    assert logits.shape == (batch["labels"].shape[0], 14)
+    assert "layer_0" in params["towers"]["text"]
