@@ -85,10 +85,18 @@ def gnn_loss_fn(expert_config: ExpertConfig):
     return fn
 
 
-def contrastive_pretrain_loss_fn(expert_config: ExpertConfig):
+def contrastive_pretrain_loss_fn(expert_config: ExpertConfig,
+                                 augment: bool = True):
+    """Contrastive pretrain objective; with ``augment``, the image side
+    is a random augmented view per step (the reference's
+    ``MultiViewAugmentation`` role, on-device — see data/augment.py)."""
     def fn(model, params, batch, rng):
+        pixels = batch["pixel_values"]
+        if augment:
+            from ..data.augment import augment_batch
+            pixels = augment_batch(jax.random.fold_in(rng, 17), pixels)
         img, txt, scale = model.apply(
-            {"params": params}, batch["pixel_values"], batch["input_ids"],
+            {"params": params}, pixels, batch["input_ids"],
             batch["attention_mask"], deterministic=False,
             rngs={"dropout": rng}, method=model.contrastive_forward)
         loss, parts = L.contrastive_loss(img, txt, scale, batch["labels"],

@@ -142,3 +142,24 @@ def test_labels_from_observations():
     lab = labels_from_observations(["Cardiomegaly", "Unknown Thing",
                                     "No Finding"])
     assert lab[1] == 1.0 and lab[13] == 1.0 and lab.sum() == 2.0
+
+
+def test_augmentation_views():
+    import jax
+    import jax.numpy as jnp
+    from radar_tpu.data.augment import augment_batch, two_views
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.random((4, 32, 32, 3)), jnp.float32)
+    v1, v2 = two_views(jax.random.key(0), imgs)
+    assert v1.shape == imgs.shape and v2.shape == imgs.shape
+    # two views differ from each other and from the original
+    assert not np.allclose(np.asarray(v1), np.asarray(v2))
+    assert not np.allclose(np.asarray(v1), np.asarray(imgs))
+    # deterministic in the key
+    v1b, _ = two_views(jax.random.key(0), imgs)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(v1b))
+    # no-op-ish config keeps values finite and in a sane range
+    out = augment_batch(jax.random.key(1), imgs, min_scale=0.99,
+                        flip=False, brightness=0.0, contrast=0.0,
+                        noise_std=0.0)
+    assert np.isfinite(np.asarray(out)).all()
