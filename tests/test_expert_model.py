@@ -163,3 +163,24 @@ def test_bert_arch_text_tower(cfg, batch):
                          batch["input_ids"], batch["attention_mask"])
     assert logits.shape == (batch["labels"].shape[0], 14)
     assert "layer_0" in params["towers"]["text"]
+
+
+def test_guarded_step_skips_nonfinite(cfg, batch):
+    """Failure detection: a NaN batch must not corrupt the train state."""
+    model = _model(cfg, "baseline")
+    state = create_train_state(model, jax.random.key(0), batch, cfg.train)
+    step = make_train_step(model, baseline_loss_fn, guard=True)
+    rng = jax.random.key(1)
+    poisoned = dict(batch)
+    poisoned["pixel_values"] = np.full_like(batch["pixel_values"], np.nan)
+    p_before = jax.device_get(state.params)
+    state2, m = step(state, poisoned, rng)
+    assert float(m["skipped_nonfinite"]) == 1.0
+    p_after = jax.device_get(state2.params)
+    for a, b in zip(jax.tree.leaves(p_before), jax.tree.leaves(p_after)):
+        np.testing.assert_array_equal(a, b)
+    assert int(state2.step) == 1  # step still advances
+    # a clean batch afterwards trains normally
+    state3, m2 = step(state2, batch, rng)
+    assert float(m2["skipped_nonfinite"]) == 0.0
+    assert np.isfinite(float(m2["loss"]))
