@@ -144,6 +144,8 @@ class ExpertConfig(ConfigBase):
     gat_heads: int = 4
     gat_hidden: int = 256
     gat_layers: int = 2
+    gat_dropout: float = 0.1   # attention dropout (0.3 is too noisy on
+                               # a 14-node graph; measured in training)
     loss_bce_weight: float = 1.0
     loss_consistency_weight: float = 0.1
     loss_correlation_weight: float = 0.05

@@ -111,7 +111,8 @@ class ExpertTrainer:
         # optional contrastive pretrain phase
         if (self.model_type == "contrastive" and cfg.pretrain_epochs > 0
                 and start_epoch == 0):
-            state = self._pretrain_contrastive(state, train_batches, rng)
+            state = self._pretrain_contrastive(state, train_batches, rng,
+                                               steps_per_epoch)
 
         loss_fn = loss_fn_for(self.model_type, self.config)
         train_step = make_train_step(self.model, loss_fn, self.mesh)
@@ -156,7 +157,8 @@ class ExpertTrainer:
         return state
 
     # ------------------------------------------------------------------
-    def _pretrain_contrastive(self, state, train_batches, rng):
+    def _pretrain_contrastive(self, state, train_batches, rng,
+                              steps_per_epoch: int = 100):
         cfg = self.config.train
         logger.info("contrastive pretrain: %d epochs",
                     cfg.pretrain_epochs)
@@ -175,7 +177,7 @@ class ExpertTrainer:
             self.history.append({"pretrain_epoch": epoch,
                                  "pretrain_loss": float(np.mean(losses))})
         # reset optimizer state for finetuning, keep params
-        tx = make_optimizer(cfg, max(1, len(self.history)))
+        tx = make_optimizer(cfg, steps_per_epoch)
         return TrainState.create(apply_fn=state.apply_fn,
                                  params=state.params, tx=tx)
 

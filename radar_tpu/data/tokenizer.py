@@ -57,7 +57,8 @@ class Tokenizer:
                   "patient evaluation there is are no seen of the with "
                   "and in stable unchanged increased decreased mild "
                   "moderate severe bilateral right left lower upper lobe "
-                  "evidence acute process cases retrieved report"]
+                  "evidence acute process cases retrieved report",
+                  ". , : ; ( ) - clear lungs cardiopulmonary"]
         return cls.from_corpus(texts, vocab_size)
 
     # -- persistence -------------------------------------------------------

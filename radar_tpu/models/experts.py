@@ -218,15 +218,18 @@ class GNNExpert(nn.Module):
                               self.dtype, self.remat, name="towers")
         self.feature_projection = nn.Dense(cfg.gat_hidden, dtype=self.dtype,
                                            name="feature_projection")
+        self.feature_norm = nn.LayerNorm(dtype=self.dtype,
+                                         name="feature_norm")
         self.node_embeddings = self.param(
             "node_embeddings", nn.initializers.normal(0.02),
             (cfg.num_observations, cfg.gat_hidden))
         self.gat_layers = [
             GraphAttentionLayer(cfg.gat_hidden, cfg.gat_heads,
-                                cfg.dropout_rate, self.dtype,
+                                cfg.gat_dropout, self.dtype,
                                 name=f"gat_{i}")
             for i in range(cfg.gat_layers)
         ]
+        self.node_norm = nn.LayerNorm(dtype=self.dtype, name="node_norm")
         self.node_classifier = nn.Dense(1, dtype=self.dtype,
                                         name="node_classifier")
         self.adjacency = jnp.asarray(
@@ -237,14 +240,15 @@ class GNNExpert(nn.Module):
         cfg = self.expert_config
         v, t = self.towers(pixel_values, input_ids, attention_mask,
                            deterministic=deterministic)
-        joint = self.feature_projection(
-            jnp.concatenate([v, t], axis=-1))            # [B, D]
+        joint = self.feature_norm(self.feature_projection(
+            jnp.concatenate([v, t], axis=-1)))           # [B, D]
         nodes = (self.node_embeddings[None].astype(self.dtype)
                  + joint[:, None, :])                    # [B, N, D]
         for layer in self.gat_layers:
-            nodes = layer(nodes, self.adjacency,
-                          deterministic=deterministic)
-        logits = self.node_classifier(nodes)[..., 0]     # [B, N]
+            # residual keeps per-node identity through attention mixing
+            nodes = nodes + layer(nodes, self.adjacency,
+                                  deterministic=deterministic)
+        logits = self.node_classifier(self.node_norm(nodes))[..., 0]
         del cfg
         return logits.astype(jnp.float32)
 

@@ -103,3 +103,50 @@ def test_full_radar_pipeline(cfg, dataset, tokenizer):
     assert 0.0 <= out["consistency_score"] <= 1.0
     assert isinstance(out["expert_observations"], dict)
     assert isinstance(out["retrieved_passages"], list)
+
+
+def test_trained_decoder_generates_true_observations(cfg, tokenizer):
+    """Train the report decoder on synthetic (context -> report) pairs
+    and verify greedy generation surfaces the ground-truth observations
+    — the end-to-end generation quality the reference can't test (its
+    generator is a mock)."""
+    from radar_tpu.data.synthetic import SyntheticCXRDataset
+    from radar_tpu.models.decoder import generate
+    from radar_tpu.models.lm_training import (make_lm_examples,
+                                              train_decoder_lm)
+    from radar_tpu.pipeline.observations import ObservationDetector
+
+    tcfg = cfg.override(**{"train.learning_rate": 3e-3,
+                           "train.num_epochs": 25,
+                           "train.schedule": "constant"})
+    ds = SyntheticCXRDataset(64, cfg.vision.image_size,
+                             cfg.text.max_length, tokenizer=tokenizer,
+                             seed=0)
+    contexts = [ds[i]["clinical_context"] for i in range(64)]
+    reports = [ds[i]["report"] for i in range(64)]
+    ids, attn, lmask = make_lm_examples(contexts, reports, tokenizer,
+                                        tcfg.decoder.max_length)
+
+    def batches():
+        for s in range(0, 64, 16):
+            yield {"input_ids": ids[s:s + 16],
+                   "attention_mask": attn[s:s + 16],
+                   "loss_mask": lmask[s:s + 16]}
+
+    module, params, hist = train_decoder_lm(tcfg, batches)
+    assert hist[-1]["perplexity"] < 1.5, hist[-1]
+
+    det = ObservationDetector()
+    hits = 0
+    n = 6
+    for i in range(n):
+        cid, cmask = tokenizer.encode(contexts[i], 48)
+        out = generate(module, params, jnp.asarray(cid)[None],
+                       jnp.asarray(cmask)[None], max_new_tokens=30,
+                       temperature=0.0)
+        text = tokenizer.decode(np.asarray(out)[0])
+        true_obs = det.detect_observations(reports[i])
+        got_obs = det.detect_observations(text)
+        if (true_obs & got_obs) or (not true_obs and not got_obs):
+            hits += 1
+    assert hits >= n - 1, f"only {hits}/{n} generations matched"
