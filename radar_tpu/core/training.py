@@ -10,7 +10,6 @@ from the sharding annotations (no hand-written collectives).
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable
 
 import jax

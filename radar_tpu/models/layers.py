@@ -10,8 +10,6 @@ FLOPs for HBM.
 
 from __future__ import annotations
 
-from typing import Callable
-
 import flax.linen as nn
 import jax.numpy as jnp
 from jax.ad_checkpoint import checkpoint_policies as _policies  # noqa: F401

@@ -14,7 +14,7 @@ import numpy as np
 
 from ..core.config import RadarConfig
 from ..core.logging import get_logger
-from .embedder import CrossModalEmbedder, JittedEmbedder
+from .embedder import JittedEmbedder
 from .index import ShardedIndex
 
 logger = get_logger("radar_tpu.retrieval")

@@ -19,8 +19,6 @@ the padded capacity; searches mask invalid rows.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

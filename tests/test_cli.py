@@ -100,3 +100,12 @@ def test_train_resume(tmp_path):
     r2 = train_main(common + ["--epochs", "3", "--resume"])
     epochs_run = [h["epoch"] for h in r2["history"] if "epoch" in h]
     assert epochs_run == [2], epochs_run
+
+
+def test_generate_report_cli(tmp_path):
+    from radar_tpu.cli.generate_report import main
+    out = main(["--synthetic", "--tiny", "--synthetic_size", "24",
+                "--retrieval_checkpoint", str(tmp_path / "none"),
+                "--sample", "0"])
+    assert isinstance(out["report"], str)
+    assert out["iterations"] >= 1
