@@ -76,13 +76,31 @@ def main(argv=None):
         logger.info("2.1 embedder: alignment_top1=%.3f", acc)
 
     if "2.2" in contributions:
-        from ..fusion.training import train_fusion
         t0 = time.time()
-        module, params, history = train_fusion(cfg, labels,
-                                               batch_size=min(bs, 16))
+        emb_ckpt = os.path.join(args.output_dir, "embedder")
+        if (cfg.fusion.hidden_size == cfg.text.hidden_size
+                and os.path.isdir(emb_ckpt)):
+            # train on real embedder text features (what the serving
+            # pipeline's conflict filter consumes)
+            from ..core.checkpoint import load_params
+            from ..fusion.training import train_fusion_on_texts
+            from ..retrieval.embedder import JittedEmbedder
+            embedder = JittedEmbedder.create(cfg.vision, cfg.text,
+                                             cfg.retrieval, tokenizer)
+            embedder.params = load_params(
+                emb_ckpt, {"params": embedder.params})["params"]
+            module, params, history = train_fusion_on_texts(
+                cfg, labels, embedder.embed_text_hidden,
+                batch_size=min(bs, 16))
+            mode = "text-features"
+        else:
+            from ..fusion.training import train_fusion
+            module, params, history = train_fusion(
+                cfg, labels, batch_size=min(bs, 16))
+            mode = "codebook"
         save_params(os.path.join(args.output_dir, "fusion"),
                     {"params": params})
-        results["2.2"] = {"history": history,
+        results["2.2"] = {"history": history, "mode": mode,
                           "final_conflict_acc":
                               history[-1]["conflict_acc"],
                           "seconds": round(time.time() - t0, 2)}

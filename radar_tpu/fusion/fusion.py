@@ -75,10 +75,10 @@ class ConflictDetector(nn.Module):
         x = jnp.concatenate([pf, sf], axis=-1)
         x = nn.Dense(self.hidden_size, dtype=self.dtype, name="fc1")(x)
         x = nn.gelu(x)
-        scores = nn.sigmoid(
-            nn.Dense(1, dtype=self.dtype, name="fc2")(x).astype(
-                jnp.float32))[..., 0]
-        return scores, scores > self.threshold
+        logits = nn.Dense(1, dtype=self.dtype, name="fc2")(x).astype(
+            jnp.float32)[..., 0]
+        scores = nn.sigmoid(logits)
+        return logits, scores, scores > self.threshold
 
 
 class AttentionKnowledgeFusion(nn.Module):
@@ -142,7 +142,7 @@ class AttentionKnowledgeFusion(nn.Module):
                             name="ffn")(h, deterministic=deterministic)
         fused = nn.LayerNorm(dtype=self.dtype, name="ln_final")(fused)
 
-        conflict_scores, conflict_mask = ConflictDetector(
+        conflict_logits, conflict_scores, conflict_mask = ConflictDetector(
             cfg.hidden_size, cfg.conflict_threshold, self.dtype,
             name="conflict")(pf_attended, sf_attended)
         # ignore conflicts at padded positions
@@ -154,6 +154,7 @@ class AttentionKnowledgeFusion(nn.Module):
             "fused_features": fused,
             "pf_gate": pf_gate,
             "sf_gate": sf_gate,
+            "conflict_logits": conflict_logits,
             "conflict_scores": conflict_scores,
             "conflict_mask": conflict_mask,
             "pf_attended": pf_attended,

@@ -35,7 +35,8 @@ class RadarPipeline:
                  expert_model=None, expert_params=None,
                  dpr: DensePassageRetrieval | None = None,
                  decoder: ReportDecoder | None = None,
-                 decoder_params=None):
+                 decoder_params=None,
+                 fusion_module=None, fusion_params=None):
         self.config = config
         self.tokenizer = tokenizer
         self.expert_model = expert_model
@@ -43,12 +44,19 @@ class RadarPipeline:
         self.dpr = dpr
         self.decoder = decoder
         self.decoder_params = decoder_params
+        self.fusion_module = fusion_module
+        self.fusion_params = fusion_params
         self.rag = IterativeRAG(config.rag)
         self._expert_fwd = None
         if expert_model is not None:
             self._expert_fwd = jax.jit(
                 lambda p, pv, ids, m: expert_model.apply(
                     {"params": p}, pv, ids, m, deterministic=True))
+        self._fusion_fwd = None
+        if fusion_module is not None:
+            self._fusion_fwd = jax.jit(
+                lambda p, pf, sf, pm, sm: fusion_module.apply(
+                    {"params": p}, pf, sf, pm, sm))
 
     # ------------------------------------------------------------------
     def predict_observations(self, image: np.ndarray,
@@ -83,14 +91,50 @@ class RadarPipeline:
 
         return generation_fn
 
+    def filter_conflicting_passages(self, preliminary: str,
+                                    passages: list[str]) -> tuple:
+        """Knowledge-fusion stage: drop retrieved passages whose mean
+        conflict score against the preliminary findings exceeds the
+        configured threshold (the reference's ConflictDetector role,
+        actually wired into the serving path)."""
+        if self._fusion_fwd is None or not passages or not preliminary:
+            return passages, []
+        seq = self.config.fusion.max_findings_len
+        pf_feats, pf_mask = self.dpr.embedder.embed_text_hidden(
+            [preliminary] * len(passages), seq)
+        sf_feats, sf_mask = self.dpr.embedder.embed_text_hidden(
+            passages, seq)
+        out = self._fusion_fwd(self.fusion_params,
+                               jnp.asarray(pf_feats),
+                               jnp.asarray(sf_feats),
+                               jnp.asarray(pf_mask),
+                               jnp.asarray(sf_mask))
+        pos = np.asarray(pf_mask) * np.asarray(sf_mask)
+        scores = (np.asarray(out["conflict_scores"]) * pos).sum(axis=1) \
+            / np.maximum(pos.sum(axis=1), 1.0)
+        keep, dropped = [], []
+        threshold = self.config.fusion.conflict_threshold
+        for p, s in zip(passages, scores):
+            (dropped if s > threshold else keep).append(
+                {"passage": p, "conflict_score": float(s)})
+        return [k["passage"] for k in keep], dropped
+
     def _make_retrieval_fn(self, image_embedding=None,
-                           query_observations=None):
+                           query_observations=None,
+                           preliminary_ref=None,
+                           conflict_log=None):
         def retrieval_fn(query: str, k: int) -> list[str]:
             if self.dpr is None or self.dpr.index.count == 0:
                 return []
             results = self.dpr.retrieve_for_text(
                 query, k, query_observations=query_observations)
-            return [r["passage"] for r in results]
+            passages = [r["passage"] for r in results]
+            if self._fusion_fwd is not None and preliminary_ref:
+                passages, dropped = self.filter_conflicting_passages(
+                    preliminary_ref[0], passages)
+                if conflict_log is not None:
+                    conflict_log.extend(dropped)
+            return passages
         return retrieval_fn
 
     # ------------------------------------------------------------------
@@ -111,13 +155,25 @@ class RadarPipeline:
             image_embedding = jnp.asarray(
                 self.dpr.embedder.embed_images([image]))
 
-        # stage 1: preliminary findings from the decoder
+        # stage 1: preliminary findings from the decoder; the expert's
+        # validated observations are injected into the prompt (the
+        # "expert filters knowledge" step of RADAR, README.md:7-10)
         generation_fn = self._make_generation_fn(image_embedding)
-        pf_context = f"Clinical context: {clinical_context}\nFindings:"
+        validated = ""
+        if expert_out and expert_out["confident_observations"]:
+            validated = ("\nValidated observations: "
+                         + ", ".join(sorted(
+                             expert_out["confident_observations"])))
+        pf_context = (f"Clinical context: {clinical_context}"
+                      f"{validated}\nFindings:")
         preliminary = generation_fn(pf_context)
 
-        # stage 3+4: iterative RAG with targeted retrieval
-        retrieval_fn = self._make_retrieval_fn(image_embedding, q_obs)
+        # stage 3+4: iterative RAG with targeted retrieval and
+        # fusion-stage conflict filtering of supplementary findings
+        preliminary_ref = [preliminary]
+        conflict_log: list = []
+        retrieval_fn = self._make_retrieval_fn(
+            image_embedding, q_obs, preliminary_ref, conflict_log)
         rag_out = self.rag.generate_with_iterative_retrieval(
             preliminary or pf_context, retrieval_fn, generation_fn,
             reference_text=reference_text)
@@ -130,5 +186,6 @@ class RadarPipeline:
             "expert_observations": (expert_out or {}).get(
                 "confident_observations", {}),
             "retrieved_passages": rag_out["retrieved_passages"],
+            "conflicting_passages": conflict_log,
             "rag": rag_out,
         }

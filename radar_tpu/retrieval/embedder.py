@@ -46,6 +46,12 @@ class CrossModalEmbedder(nn.Module):
         pooled = self.text(input_ids, attention_mask)["pooler_output"]
         return self._normalize(self.text_projection(pooled))
 
+    def text_hidden(self, input_ids, attention_mask=None):
+        """Token-level text features [B, S, H] — the PF/SF feature
+        streams the knowledge-fusion stage consumes."""
+        return self.text(input_ids,
+                         attention_mask)["last_hidden_state"]
+
     def encode_image(self, pixel_values):
         pooled = self.vision(pixel_values)["pooler_output"]
         return self._normalize(self.image_projection(pooled))
@@ -70,6 +76,9 @@ class JittedEmbedder:
         self._encode_image = jax.jit(
             lambda p, pv: module.apply({"params": p}, pv,
                                        method=module.encode_image))
+        self._text_hidden = jax.jit(
+            lambda p, ids, m: module.apply({"params": p}, ids, m,
+                                           method=module.text_hidden))
 
     @classmethod
     def create(cls, vision_config: VisionConfig, text_config: TextConfig,
@@ -100,6 +109,20 @@ class JittedEmbedder:
                 self._encode_text(self.params, jnp.asarray(ids),
                                   jnp.asarray(mask))))
         return np.concatenate(outs, axis=0)
+
+    def embed_text_hidden(self, texts: list[str], seq_len: int
+                          ) -> tuple["np.ndarray", "np.ndarray"]:
+        """Token-level features for fusion: ([B, seq_len, H], mask)."""
+        import numpy as np
+        ids, mask = self.tokenizer.encode_batch(
+            texts, min(seq_len, self.max_length))
+        feats = np.asarray(self._text_hidden(
+            self.params, jnp.asarray(ids), jnp.asarray(mask)))
+        if feats.shape[1] < seq_len:
+            pad = seq_len - feats.shape[1]
+            feats = np.pad(feats, ((0, 0), (0, pad), (0, 0)))
+            mask = np.pad(mask, ((0, 0), (0, pad)))
+        return feats, mask.astype(np.float32)
 
     def embed_images(self, images, batch_size: int = 64):
         import numpy as np

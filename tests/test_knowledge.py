@@ -165,3 +165,42 @@ def test_generate_with_verification():
     assert out["num_samples"] == 3
     assert out["best_generation"]
     assert "Cardiomegaly" in out["consistent_observations"]
+
+
+def test_fusion_on_text_features_learns_and_filters(cfg, tokenizer):
+    """Train the conflict head on real embedder text features, then
+    verify the pipeline's fusion stage drops a contradictory passage."""
+    import numpy as np
+    from radar_tpu.data.synthetic import sample_labels, report_text
+    from radar_tpu.fusion.training import train_fusion_on_texts
+    from radar_tpu.retrieval.embedder import JittedEmbedder
+
+    tcfg = cfg.override(**{"train.learning_rate": 1e-3,
+                           "train.num_epochs": 8,
+                           "train.schedule": "constant"})
+    embedder = JittedEmbedder.create(tcfg.vision, tcfg.text,
+                                     tcfg.retrieval, tokenizer)
+    rng = np.random.default_rng(0)
+    labels = sample_labels(rng, 96)
+    module, params, hist = train_fusion_on_texts(
+        tcfg, labels, embedder.embed_text_hidden, batch_size=16)
+    assert hist[-1]["conflict_acc"] > 0.8, hist[-1]
+
+    # held-out sequence-level check via the pipeline's filter
+    from radar_tpu.pipeline.radar import RadarPipeline
+    from radar_tpu.retrieval.dpr import create_dpr_model
+    dpr = create_dpr_model(tcfg, tokenizer)
+    dpr.embedder = embedder
+    pipe = RadarPipeline(tcfg, tokenizer, dpr=dpr,
+                         fusion_module=module, fusion_params=params)
+    row = sample_labels(np.random.default_rng(5), 1)[0]
+    flipped = 1.0 - row
+    flipped[13] = 1.0 if flipped[:13].sum() == 0 else 0.0
+    pf = report_text(row)
+    consistent = report_text(row)
+    conflicting = report_text(flipped)
+    kept, dropped = pipe.filter_conflicting_passages(
+        pf, [consistent, conflicting])
+    assert consistent in kept, (kept, dropped)
+    assert any(d["passage"] == conflicting for d in dropped), \
+        (kept, dropped)
