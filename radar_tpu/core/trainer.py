@@ -119,11 +119,12 @@ class ExpertTrainer:
         eval_step = make_eval_step(self.model, self.mesh)
         best_f1 = -1.0
 
+        from ..data.pipeline import prefetch_to_device
         for epoch in range(start_epoch, cfg.num_epochs):
             losses = []
-            for batch in train_batches():
-                b = (shard_batch(self.mesh, batch)
-                     if self.mesh is not None else batch)
+            epoch_batches = (prefetch_to_device(train_batches(), self.mesh)
+                             if self.mesh is not None else train_batches())
+            for b in epoch_batches:
                 state, metrics = train_step(state, b, rng)
                 losses.append(float(metrics["loss"]))
             record = {"epoch": epoch,

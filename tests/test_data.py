@@ -163,3 +163,28 @@ def test_augmentation_views():
                         flip=False, brightness=0.0, contrast=0.0,
                         noise_std=0.0)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_prefetch_to_device(dataset, mesh_data):
+    from radar_tpu.data.pipeline import prefetch_to_device
+    batches = list(dataset.batches(8))[:3]
+    staged = list(prefetch_to_device(iter(batches), mesh_data))
+    assert len(staged) == 3
+    for orig, dev in zip(batches, staged):
+        np.testing.assert_allclose(np.asarray(dev["labels"]),
+                                   orig["labels"])
+        # batch dim is sharded over the data axis
+        assert "data" in str(dev["pixel_values"].sharding.spec)
+
+
+def test_prefetch_propagates_errors(dataset):
+    from radar_tpu.data.pipeline import prefetch_to_device
+
+    def bad():
+        yield next(dataset.batches(4))
+        raise RuntimeError("boom")
+
+    it = prefetch_to_device(bad())
+    next(it)
+    with pytest.raises(RuntimeError, match="boom"):
+        list(it)

@@ -1,0 +1,68 @@
+"""Parallelism tests: TP sharding rules, sharded init, and ring
+(context-parallel) attention parity on the 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from radar_tpu.core.mesh import MODEL_AXIS, DATA_AXIS
+from radar_tpu.parallel.context import (ring_attention,
+                                        ring_attention_reference)
+from radar_tpu.parallel.sharding import (describe_shardings,
+                                         param_shardings, spec_for_path)
+
+
+def test_tp_rules(mesh8):
+    assert spec_for_path("encoder/block_0/attn/q/kernel", (128, 128),
+                        mesh8) == P(None, MODEL_AXIS)
+    assert spec_for_path("encoder/block_0/attn/out/kernel", (128, 128),
+                        mesh8) == P(MODEL_AXIS, None)
+    assert spec_for_path("encoder/block_0/mlp/fc1/kernel", (128, 512),
+                        mesh8) == P(None, MODEL_AXIS)
+    # non-divisible dims fall back to replication
+    assert spec_for_path("encoder/block_0/mlp/fc1/kernel", (128, 127),
+                        mesh8) == P()
+    assert spec_for_path("encoder/ln_final/scale", (128,), mesh8) == P()
+
+
+def test_param_shardings_on_model(cfg, batch, mesh8):
+    from radar_tpu.models.experts import create_model
+    model = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    shape = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), batch["pixel_values"],
+                           batch["input_ids"],
+                           batch["attention_mask"])["params"])
+    shardings = param_shardings(shape, mesh8)
+    desc = describe_shardings(shardings)
+    sharded = [k for k, v in desc.items() if "model" in v]
+    assert any("attn/q/kernel" in k for k in sharded)
+    assert any("mlp/fc1/kernel" in k for k in sharded)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_reference(mesh_data, causal):
+    rng = np.random.default_rng(0)
+    b, h, s, d = 2, 4, 64, 16    # s divides the 8-way axis
+    q = jnp.asarray(rng.normal(0, 1, (b, h, s, d)), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, (b, h, s, d)), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, (b, h, s, d)), jnp.float32)
+    out = ring_attention(q, k, v, mesh_data, DATA_AXIS, causal=causal)
+    ref = ring_attention_reference(q, k, v, causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_ring_attention_jits_and_shards(mesh_data):
+    """ring_attention composes under jit with sharded inputs."""
+    from jax.sharding import NamedSharding
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(0, 1, (1, 2, 64, 16)), jnp.float32)
+    spec = NamedSharding(mesh_data, P(None, None, DATA_AXIS, None))
+    qs = jax.device_put(q, spec)
+    f = jax.jit(lambda q: ring_attention(q, q, q, mesh_data, DATA_AXIS))
+    out = f(qs)
+    ref = ring_attention_reference(q, q, q)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
