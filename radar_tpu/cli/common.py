@@ -71,11 +71,21 @@ def load_config(args) -> RadarConfig:
     return cfg
 
 
-def make_mesh(args):
+def make_mesh(args, batch_size: int | None = None):
+    """Build the CLI mesh; the data axis is clamped to a divisor of the
+    batch size so small-batch runs still shard cleanly."""
+    import math
+
     import jax
     n = len(jax.devices())
     model = max(1, args.mesh_model)
-    return build_mesh(MeshConfig(data=n // model, model=model))
+    data = n // model
+    if batch_size:
+        data = math.gcd(batch_size, data)
+    if data * model < n:
+        logger.info("using %d of %d devices (mesh %dx%d for batch %s)",
+                    data * model, n, data, model, batch_size)
+    return build_mesh(MeshConfig(data=data, model=model))
 
 
 def build_datasets(args, cfg: RadarConfig, tokenizer: Tokenizer,

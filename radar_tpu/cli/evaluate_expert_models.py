@@ -76,7 +76,7 @@ def load_model_params(model_type: str, ckpt_dir: str, cfg, sample_batch):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
-    mesh = make_mesh(args)
+    mesh = make_mesh(args, cfg.train.eval_batch_size)
     tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
     datasets = build_datasets(args, cfg, tokenizer, ("test",))
     bs = cfg.train.eval_batch_size

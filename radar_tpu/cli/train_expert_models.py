@@ -55,7 +55,7 @@ def main(argv=None) -> dict:
     if args.model_type != "contrastive" or not args.pretrain:
         cfg = cfg.override(**{"train.pretrain_epochs": 0})
 
-    mesh = make_mesh(args)
+    mesh = make_mesh(args, cfg.train.batch_size)
     tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
     datasets = build_datasets(args, cfg, tokenizer, ("train", "val"))
 

@@ -49,7 +49,8 @@ def evaluate_classifier(eval_step, params, dataset_batches,
         all_logits.append(np.asarray(logits))
         all_labels.append(np.asarray(batch["labels"]))
     if not all_logits:
-        return {"macro_f1": 0.0}
+        return {"macro_f1": 0.0, "micro_f1": 0.0, "num_samples": 0,
+                "_logits": np.zeros((0, 14)), "_labels": np.zeros((0, 14))}
     logits = np.concatenate(all_logits)
     labels = np.concatenate(all_labels)
     probs = jax.nn.sigmoid(jnp.asarray(logits))

@@ -109,3 +109,39 @@ def test_generate_report_cli(tmp_path):
                 "--sample", "0"])
     assert isinstance(out["report"], str)
     assert out["iterations"] >= 1
+
+
+def test_train_on_prepared_real_data(tmp_path):
+    """Full real-data path: CSV ETL -> image files -> ExpertModelDataset
+    -> device preprocessing -> training (no --synthetic)."""
+    import numpy as np
+    import pandas as pd
+    from PIL import Image
+
+    from radar_tpu.cli.data_prep import main as prep_main
+    from radar_tpu.cli.train_expert_models import main as train_main
+
+    reports = ["Mild cardiomegaly.", "No acute process. Normal exam.",
+               "Pneumonia with consolidation.", "Pleural effusion seen."] * 8
+    rows = [{"study_id": f"s{i:04d}", "image_path": f"images/s{i:04d}.jpg",
+             "report": r} for i, r in enumerate(reports)]
+    csv = tmp_path / "df.csv"
+    pd.DataFrame(rows).to_csv(csv, index=False)
+    out = tmp_path / "data"
+    prep_main(["--csv", str(csv), "--output", str(out)])
+    os.makedirs(out / "images", exist_ok=True)
+    for i in range(len(rows)):
+        Image.fromarray((np.random.default_rng(i).random((48, 48, 3))
+                         * 255).astype(np.uint8)).save(
+            out / f"images/s{i:04d}.jpg")
+
+    r = train_main([
+        "--model_type", "baseline", "--tiny", "--epochs", "1",
+        "--batch_size", "4",
+        "--image_path", str(out),
+        "--annotation_path", str(out / "annotation.json"),
+        "--clinical_context_path", str(out / "clinical_context.json"),
+        "--observation_path", str(out / "observation.json"),
+        "--output_dir", str(tmp_path / "ckpt")])
+    assert r["history"], r
+    assert np.isfinite(r["history"][-1]["train_loss"])
