@@ -73,7 +73,7 @@ def main(argv=None):
                     else test_ds[i]["image"] for i in range(nq)]
 
     dpr = None
-    if "2.1" in contributions or "2.3" in contributions:
+    if contributions:
         from ..retrieval.dpr import create_dpr_model
         dpr = create_dpr_model(cfg, tokenizer)
         dpr.embedder.params = _maybe_restore(
@@ -104,8 +104,18 @@ def main(argv=None):
         params = _maybe_restore(
             os.path.join(args.checkpoint_dir, "fusion"), params)
         fe = FusionEvaluator(module, params)
-        rep = fe.evaluate_conflicts(query_labels,
-                                    cfg.fusion.hidden_size, seq)
+        if (dpr is not None
+                and cfg.fusion.hidden_size == cfg.text.hidden_size
+                and os.path.isdir(os.path.join(args.checkpoint_dir,
+                                               "embedder"))):
+            rep = fe.evaluate_conflicts_on_texts(
+                query_labels, dpr.embedder.embed_text_hidden,
+                cfg.fusion.max_findings_len)
+            rep["mode"] = "text-features"
+        else:
+            rep = fe.evaluate_conflicts(query_labels,
+                                        cfg.fusion.hidden_size, seq)
+            rep["mode"] = "codebook"
         # fused-report text metrics: PF = first half of the reference
         # report, SF = best retrieved passage; fused = concat
         fused_reports, refs = [], []

@@ -84,8 +84,21 @@ class FusionEvaluator:
         self.module = module
         self.params = params
 
+    @staticmethod
+    def _prf(pred: np.ndarray, target: np.ndarray) -> dict:
+        tp = int((pred & target).sum())
+        fp = int((pred & ~target).sum())
+        fn = int((~pred & target).sum())
+        precision = tp / max(tp + fp, 1)
+        recall = tp / max(tp + fn, 1)
+        f1 = 2 * precision * recall / max(precision + recall, 1e-8)
+        return {"conflict_detection_f1": f1,
+                "conflict_detection_precision": precision,
+                "conflict_detection_recall": recall}
+
     def evaluate_conflicts(self, labels: np.ndarray, hidden: int,
                            seq_len: int = 8, seed: int = 1) -> dict:
+        """Token-level conflict metrics on codebook-feature pairs."""
         import jax.numpy as jnp
 
         from ..fusion.training import synthesize_fusion_batch
@@ -96,15 +109,30 @@ class FusionEvaluator:
                                 jnp.asarray(batch["sf"]))
         pred = np.asarray(out["conflict_scores"]) > 0.5
         target = batch["conflict_target"] > 0.5
-        tp = int((pred & target).sum())
-        fp = int((pred & ~target).sum())
-        fn = int((~pred & target).sum())
-        precision = tp / max(tp + fp, 1)
-        recall = tp / max(tp + fn, 1)
-        f1 = 2 * precision * recall / max(precision + recall, 1e-8)
-        return {"conflict_detection_f1": f1,
-                "conflict_detection_precision": precision,
-                "conflict_detection_recall": recall}
+        return self._prf(pred, target)
+
+    def evaluate_conflicts_on_texts(self, labels: np.ndarray,
+                                    embed_hidden_fn, seq_len: int,
+                                    seed: int = 1) -> dict:
+        """Sequence-level conflict metrics on held-out PF/SF *text*
+        pairs embedded with the cross-modal text tower (the serving
+        pipeline's feature domain)."""
+        import jax.numpy as jnp
+
+        from ..fusion.training import make_conflict_text_pairs
+        rng = np.random.default_rng(seed)
+        pf_texts, sf_texts, conflicts = make_conflict_text_pairs(
+            labels, rng)
+        pf, pf_mask = embed_hidden_fn(pf_texts, seq_len)
+        sf, sf_mask = embed_hidden_fn(sf_texts, seq_len)
+        out = self.module.apply({"params": self.params},
+                                jnp.asarray(pf), jnp.asarray(sf),
+                                jnp.asarray(pf_mask),
+                                jnp.asarray(sf_mask))
+        pos = pf_mask * sf_mask
+        scores = ((np.asarray(out["conflict_scores"]) * pos).sum(1)
+                  / np.maximum(pos.sum(1), 1.0))
+        return self._prf(scores > 0.5, conflicts > 0.5)
 
     @staticmethod
     def evaluate_reports(fused_reports: list[str],
