@@ -138,6 +138,132 @@ class RadarPipeline:
         return retrieval_fn
 
     # ------------------------------------------------------------------
+    def _batch_generate(self, contexts: list[str], image_embeddings):
+        """One batched decoder call over ragged prompt strings."""
+        max_len = self.config.decoder.max_length
+        max_prompt = max_len - self.config.rag.max_new_tokens - 1
+        ids, mask = self.tokenizer.encode_batch(contexts, max_prompt)
+        tokens = generate(
+            self.decoder, self.decoder_params, jnp.asarray(ids),
+            jnp.asarray(mask), prefix_embedding=image_embeddings,
+            max_new_tokens=self.config.rag.max_new_tokens,
+            temperature=0.0)
+        tokens = np.asarray(tokens)
+        return [self.tokenizer.decode(tokens[i])
+                for i in range(tokens.shape[0])]
+
+    def generate_reports_batch(self, images: list[np.ndarray],
+                               clinical_contexts: list[str],
+                               reference_texts: list[str] | None = None
+                               ) -> list[dict]:
+        """Batched serving path: the expert forward, image embedding and
+        every RAG-iteration decode run as single batched XLA programs
+        across all still-active studies; only the string-space loop
+        control is per-study.  Converged studies keep decoding inside
+        the fixed batch (their outputs are frozen host-side) so shapes
+        stay static — the TPU-friendly trade.
+        """
+        n = len(images)
+        refs = reference_texts or [None] * n
+        cfg = self.config.rag
+
+        # stage 2 (batched): expert observations
+        expert_obs = [{} for _ in range(n)]
+        q_obs = None
+        if self._expert_fwd is not None:
+            ids, mask = self.tokenizer.encode_batch(
+                clinical_contexts, self.config.text.max_length)
+            probs = np.asarray(jax.nn.sigmoid(self._expert_fwd(
+                self.expert_params, jnp.asarray(np.stack(images)),
+                jnp.asarray(ids), jnp.asarray(mask))))
+            q_obs = (probs > 0.5).astype(np.float32)
+            for i in range(n):
+                expert_obs[i] = {
+                    OBSERVATION_NAMES[j]: float(probs[i, j])
+                    for j in range(len(OBSERVATION_NAMES))
+                    if probs[i, j] > 0.5}
+
+        image_embeddings = None
+        if self.dpr is not None:
+            image_embeddings = jnp.asarray(
+                self.dpr.embedder.embed_images(list(images)))
+
+        contexts = []
+        for i in range(n):
+            validated = ""
+            if expert_obs[i]:
+                validated = ("\nValidated observations: "
+                             + ", ".join(sorted(expert_obs[i])))
+            contexts.append(f"Clinical context: {clinical_contexts[i]}"
+                            f"{validated}\nFindings:")
+
+        preliminary = self._batch_generate(contexts, image_embeddings)
+        generations: list[list[str]] = [[p] for p in preliminary]
+        cumulative: list[set] = [set() for _ in range(n)]
+        seen: list[set] = [set() for _ in range(n)]
+        retrieved: list[list[str]] = [[] for _ in range(n)]
+        done = [False] * n
+        current = list(preliminary)
+
+        for iteration in range(cfg.max_iterations - 1):
+            # host-side detection + targeted retrieval per active study
+            for i in range(n):
+                if done[i]:
+                    continue
+                gen = generations[i][-1]
+                detected = self.rag.detector.detect_observations(gen)
+                if refs[i]:
+                    missing = self.rag.detector.find_missing_observations(
+                        gen, refs[i])
+                else:
+                    cons = self.rag.verifier.compute_consistency(
+                        generations[i])
+                    if (len(generations[i]) >= 2
+                            and cons >= cfg.consistency_threshold):
+                        done[i] = True
+                        continue
+                    missing = cumulative[i] - detected
+                cumulative[i] |= detected
+                if not missing:
+                    done[i] = True
+                    continue
+                query = self.rag.retriever.build_retrieval_query(missing)
+                passages = []
+                if self.dpr is not None and self.dpr.index.count:
+                    qob = q_obs[i:i + 1] if q_obs is not None else None
+                    hits = self.dpr.retrieve_for_text(query, cfg.top_k,
+                                                      qob)
+                    passages = [h["passage"] for h in hits]
+                    if self._fusion_fwd is not None:
+                        passages, _ = self.filter_conflicting_passages(
+                            gen, passages)
+                ranked = self.rag.retriever.rank_retrieved_passages(
+                    passages, missing, seen[i])
+                seen[i].update(ranked)
+                retrieved[i].extend(ranked)
+                evidence = "\n".join(ranked[: cfg.evidence_passages])
+                current[i] = (f"{gen}\n\nRetrieved Evidence:\n{evidence}")
+            if all(done):
+                break
+            # one batched decode for everyone (frozen rows ignored)
+            outs = self._batch_generate(current, image_embeddings)
+            for i in range(n):
+                if not done[i]:
+                    generations[i].append(outs[i])
+
+        results = []
+        for i in range(n):
+            results.append({
+                "preliminary_findings": preliminary[i],
+                "report": generations[i][-1],
+                "iterations": len(generations[i]),
+                "consistency_score":
+                    self.rag.verifier.compute_consistency(generations[i]),
+                "expert_observations": expert_obs[i],
+                "retrieved_passages": retrieved[i],
+            })
+        return results
+
     def generate_report(self, image: np.ndarray, clinical_context: str,
                         reference_text: str | None = None) -> dict:
         """End-to-end report generation for one study."""

@@ -150,3 +150,38 @@ def test_trained_decoder_generates_true_observations(cfg, tokenizer):
         if (true_obs & got_obs) or (not true_obs and not got_obs):
             hits += 1
     assert hits >= n - 1, f"only {hits}/{n} generations matched"
+
+
+def test_batched_pipeline_matches_contract(cfg, dataset, tokenizer):
+    """Batched serving path: one expert forward + batched decodes across
+    studies; per-study outputs keep the single-study contract."""
+    expert = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    s = dataset[0]
+    pv = jnp.asarray(s["pixel_values"])[None]
+    ids = jnp.asarray(s["input_ids"])[None]
+    mask = jnp.asarray(s["attention_mask"])[None]
+    expert_params = expert.init(jax.random.key(0), pv, ids, mask)["params"]
+
+    dpr = create_dpr_model(cfg, tokenizer)
+    dpr.build_retrieval_database(
+        [dataset[i]["report"] for i in range(8)],
+        np.stack([dataset[i]["labels"] for i in range(8)]))
+
+    decoder = ReportDecoder(cfg.decoder)
+    dparams = decoder.init(
+        jax.random.key(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.zeros((1, cfg.decoder.prefix_dim), jnp.float32))["params"]
+
+    pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
+                         decoder, dparams)
+    images = [dataset[i]["pixel_values"] for i in range(3)]
+    contexts = [dataset[i]["clinical_context"] for i in range(3)]
+    refs = [dataset[i]["report"] for i in range(3)]
+    results = pipe.generate_reports_batch(images, contexts, refs)
+    assert len(results) == 3
+    for r in results:
+        assert isinstance(r["report"], str)
+        assert 1 <= r["iterations"] <= cfg.rag.max_iterations
+        assert 0.0 <= r["consistency_score"] <= 1.0
+        assert isinstance(r["expert_observations"], dict)
