@@ -163,30 +163,31 @@ class ReportDecoder(nn.Module):
         return logits.astype(jnp.float32)
 
     # -- decode path -----------------------------------------------------
-    def prefill(self, input_ids, attention_mask, prefix_embedding=None):
+    def prefill(self, input_ids, attention_mask, prefix_embedding=None,
+                cache_len: int | None = None):
         """Run the prompt through the stack, returning (logits, kv_list)
-        padded to ``max_length`` cache slots."""
+        padded to ``cache_len`` slots (default ``max_length``) —
+        sizing the cache to prompt+new_tokens instead of the full
+        position table cuts per-step decode attention proportionally."""
         cfg = self.config
         b, t = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(t), (b, t))
         x = self._embed(input_ids, positions)
-        p = 0
         if prefix_embedding is not None:
             pref = self.prefix_proj(prefix_embedding)[:, None, :]
             x = jnp.concatenate([pref.astype(self.dtype), x], axis=1)
             attention_mask = jnp.concatenate(
                 [jnp.ones((b, 1), attention_mask.dtype), attention_mask],
                 axis=1)
-            p = 1
+        cache_len = cache_len or cfg.max_length
         caches = []
         for block in self.blocks:
             x, (k, v) = block(x, attn_mask=attention_mask)
-            pad = cfg.max_length - k.shape[2]
+            pad = cache_len - k.shape[2]
             k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
             caches.append((k, v))
         logits = self.lm_head(self.ln_f(x))
-        del p
         return logits.astype(jnp.float32), caches
 
     def decode_step(self, token, cache_pos, token_pos, caches):
@@ -237,9 +238,13 @@ def generate(model: ReportDecoder, params, input_ids, attention_mask,
     lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)  # [B]
     prefix_offset = 0 if prefix_embedding is None else 1
 
+    # cache sized to the worst case of this call, 128-aligned
+    need = input_ids.shape[1] + prefix_offset + max_new_tokens
+    cache_len = min(-(-need // 128) * 128,
+                    model.config.max_length + prefix_offset)
     logits, caches = model.apply(
         {"params": params}, input_ids, attention_mask, prefix_embedding,
-        method=model.prefill)
+        method=model.prefill, cache_len=cache_len)
     # logits index of last real token (prefix shifts positions by 1)
     last_idx = lengths - 1 + prefix_offset
     next_logits = jnp.take_along_axis(
