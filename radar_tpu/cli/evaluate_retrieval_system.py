@@ -42,6 +42,18 @@ def build_parser():
     return parser
 
 
+def _normalized_image(sample: dict, cfg) -> np.ndarray:
+    """Model-ready image from either dataset type: synthetic samples
+    carry pre-normalised pixel_values; real samples carry raw uint8
+    that must go through the device preprocessing."""
+    if "pixel_values" in sample:
+        return np.asarray(sample["pixel_values"], np.float32)
+    from ..data.dataset import preprocess_images
+    import jax.numpy as jnp
+    return np.asarray(preprocess_images(
+        jnp.asarray(sample["image"])[None], cfg.vision.image_size)[0])
+
+
 def _maybe_restore(path: str, params):
     if os.path.isdir(path):
         try:
@@ -62,15 +74,14 @@ def main(argv=None):
                      else [args.contribution])
     results = {}
 
-    passages = [train_ds[i]["report"] for i in range(len(train_ds))]
-    passage_labels = np.stack([train_ds[i]["labels"]
-                               for i in range(len(train_ds))])
+    train_meta = [train_ds.sample_meta(i) for i in range(len(train_ds))]
+    passages = [m["report"] for m in train_meta]
+    passage_labels = np.stack([m["labels"] for m in train_meta])
     nq = min(args.num_queries, len(test_ds))
-    query_texts = [test_ds[i]["report"] for i in range(nq)]
-    query_labels = np.stack([test_ds[i]["labels"] for i in range(nq)])
-    query_images = [test_ds[i]["pixel_values"]
-                    if "pixel_values" in test_ds[i]
-                    else test_ds[i]["image"] for i in range(nq)]
+    test_meta = [test_ds.sample_meta(i) for i in range(nq)]
+    query_texts = [m["report"] for m in test_meta]
+    query_labels = np.stack([m["labels"] for m in test_meta])
+    query_images = [_normalized_image(test_ds[i], cfg) for i in range(nq)]
 
     dpr = None
     if contributions:

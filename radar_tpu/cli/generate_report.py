@@ -77,9 +77,9 @@ def main(argv=None):
             emb_ckpt, {"params": dpr.embedder.params})["params"]
         logger.info("restored embedder from %s", emb_ckpt)
     n = min(args.passages, len(train_ds))
-    dpr.build_retrieval_database(
-        [train_ds[i]["report"] for i in range(n)],
-        np.stack([train_ds[i]["labels"] for i in range(n)]))
+    meta = [train_ds.sample_meta(i) for i in range(n)]
+    dpr.build_retrieval_database([m["report"] for m in meta],
+                                 np.stack([m["labels"] for m in meta]))
 
     decoder = ReportDecoder(cfg.decoder)
     did = jnp.zeros((1, 8), jnp.int32)
@@ -96,15 +96,24 @@ def main(argv=None):
     pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
                          decoder, decoder_params)
 
+    from ..data.dataset import preprocess_images
+
+    def model_ready(raw_uint8):
+        return np.asarray(preprocess_images(
+            jnp.asarray(raw_uint8)[None], cfg.vision.image_size)[0])
+
     if args.image:
         from PIL import Image
         with Image.open(args.image) as im:
-            img = np.asarray(im.convert("RGB"), np.float32) / 255.0
+            img = model_ready(np.asarray(im.convert("RGB"), np.uint8))
         context = args.context or "No clinical context available."
         reference = None
     else:
         s = test_ds[args.sample]
-        img = s.get("pixel_values", s.get("image"))
+        # synthetic samples are pre-normalised; real samples carry raw
+        # uint8 that must be resized + ImageNet-normalised first
+        img = (s["pixel_values"] if "pixel_values" in s
+               else model_ready(s["image"]))
         context = s["clinical_context"]
         reference = s.get("report")
 

@@ -146,6 +146,34 @@ class ExpertModelDataset:
     def __len__(self):
         return len(self.samples)
 
+    @staticmethod
+    def _study_id(sample: dict) -> str:
+        """Study directory from a MIMIC-style path.
+
+        Handles both 'files/pXX/pXXXXXXXX/sYYYYYYYY/img.jpg' and
+        'pXX/pXXXXXXXX/sYYYYYYYY/img.jpg' by picking the component that
+        looks like a study dir ('s' + digits); falls back to the
+        third component (the reference's convention,
+        ``train_expert_models.py:127``) and finally the sample id.
+        """
+        parts = sample["image_path"].split("/")
+        for p in parts[:-1]:
+            if len(p) > 1 and p[0] == "s" and p[1:].isdigit():
+                return p
+        return parts[2] if len(parts) > 2 else sample["id"]
+
+    def sample_meta(self, idx: int) -> dict:
+        """Text/label fields WITHOUT decoding the image — use for
+        retrieval-DB and LM-corpus construction over large datasets."""
+        sample = self.samples[idx]
+        context = self.clinical_contexts.get(self._study_id(sample), {})
+        return {
+            "id": sample["id"],
+            "report": sample["report"],
+            "labels": labels_from_observations(sample["observations"]),
+            "clinical_context": construct_clinical_context(context),
+        }
+
     def _load_image(self, rel_path: str) -> np.ndarray:
         from PIL import Image
         path = os.path.join(self.root_path, rel_path)
@@ -154,10 +182,7 @@ class ExpertModelDataset:
 
     def __getitem__(self, idx: int) -> dict:
         sample = self.samples[idx]
-        parts = sample["image_path"].split("/")
-        # MIMIC layout files/pXX/pXXXX/sYYYY/img.jpg -> study dir at [2];
-        # flat layouts fall back to the sample id
-        study_id = parts[2] if len(parts) > 2 else sample["id"]
+        study_id = self._study_id(sample)
         context = self.clinical_contexts.get(study_id, {})
         context_text = construct_clinical_context(context)
         ids, mask = self.tokenizer.encode(context_text,

@@ -116,6 +116,16 @@ class SyntheticCXRDataset:
         img = np.clip(img + sig, 0.0, 2.0)
         return np.repeat(img[..., None], 3, axis=-1)
 
+    def sample_meta(self, idx: int) -> dict:
+        """Text/label fields without generating the image (uniform API
+        with ExpertModelDataset.sample_meta)."""
+        return {
+            "id": f"synth_{idx:06d}",
+            "report": self.reports[idx],
+            "labels": self.labels[idx],
+            "clinical_context": self.contexts[idx],
+        }
+
     def __getitem__(self, idx: int) -> dict:
         return {
             "image_id": f"synth_{idx:06d}",

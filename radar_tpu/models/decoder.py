@@ -240,6 +240,12 @@ def generate(model: ReportDecoder, params, input_ids, attention_mask,
 
     # cache sized to the worst case of this call, 128-aligned
     need = input_ids.shape[1] + prefix_offset + max_new_tokens
+    if need > model.config.max_length + prefix_offset:
+        raise ValueError(
+            f"prompt ({input_ids.shape[1]}) + max_new_tokens "
+            f"({max_new_tokens}) exceeds decoder max_length "
+            f"({model.config.max_length}); decode writes would fall "
+            f"outside the cache")
     cache_len = min(-(-need // 128) * 128,
                     model.config.max_length + prefix_offset)
     logits, caches = model.apply(

@@ -100,8 +100,11 @@ class RadarPipeline:
         if self._fusion_fwd is None or not passages or not preliminary:
             return passages, []
         seq = self.config.fusion.max_findings_len
-        pf_feats, pf_mask = self.dpr.embedder.embed_text_hidden(
-            [preliminary] * len(passages), seq)
+        # embed the PF once, broadcast to the passage count
+        pf_one, pf_mask_one = self.dpr.embedder.embed_text_hidden(
+            [preliminary], seq)
+        pf_feats = np.repeat(pf_one, len(passages), axis=0)
+        pf_mask = np.repeat(pf_mask_one, len(passages), axis=0)
         sf_feats, sf_mask = self.dpr.embedder.embed_text_hidden(
             passages, seq)
         out = self._fusion_fwd(self.fusion_params,
@@ -211,21 +214,10 @@ class RadarPipeline:
                 if done[i]:
                     continue
                 gen = generations[i][-1]
-                detected = self.rag.detector.detect_observations(gen)
-                if refs[i]:
-                    missing = self.rag.detector.find_missing_observations(
-                        gen, refs[i])
-                else:
-                    cons = self.rag.verifier.compute_consistency(
-                        generations[i])
-                    if (len(generations[i]) >= 2
-                            and cons >= cfg.consistency_threshold):
-                        done[i] = True
-                        continue
-                    missing = cumulative[i] - detected
+                done[i], missing, detected = self.rag.plan_iteration(
+                    generations[i], cumulative[i], refs[i])
                 cumulative[i] |= detected
-                if not missing:
-                    done[i] = True
+                if done[i]:
                     continue
                 query = self.rag.retriever.build_retrieval_query(missing)
                 passages = []

@@ -56,6 +56,32 @@ class IterativeRAG:
         self.retriever = TargetedRetriever(self.detector)
 
     # ------------------------------------------------------------------
+    def plan_iteration(self, generations: list[str],
+                       cumulative_observations: set,
+                       reference_text: str | None
+                       ) -> tuple[bool, set, set]:
+        """Shared per-study loop decision (used by the single-study loop
+        and the batched serving path so they cannot drift).
+
+        Returns (done, missing, detected): ``done`` when the latest
+        generation is complete (no missing observations) or, without a
+        reference, self-consistent across generations.
+        """
+        gen = generations[-1]
+        detected = self.detector.detect_observations(gen)
+        if reference_text:
+            missing = self.detector.find_missing_observations(
+                gen, reference_text)
+        else:
+            consistency = self.verifier.compute_consistency(generations)
+            if (len(generations) >= 2
+                    and consistency >= self.config.consistency_threshold):
+                return True, set(), detected
+            missing = cumulative_observations - detected
+        if not missing:
+            return True, set(), detected
+        return False, missing, detected
+
     def generate_with_iterative_retrieval(
             self, initial_findings: str,
             retrieval_function: RetrievalFn,
@@ -77,26 +103,13 @@ class IterativeRAG:
             generated = generation_function(context)
             generations.append(generated)
 
-            if reference_text:
-                missing = self.detector.find_missing_observations(
-                    generated, reference_text)
-            else:
-                consistency = self.verifier.compute_consistency(
-                    generations)
-                if (len(generations) >= 2
-                        and consistency >= cfg.consistency_threshold):
-                    logger.debug("consistent after %d iterations",
-                                 iteration + 1)
-                    break
-                # target observations seen before but absent now
-                missing = (state.cumulative_observations
-                           - self.detector.detect_observations(generated))
-
-            detected = self.detector.detect_observations(generated)
+            done, missing, detected = self.plan_iteration(
+                generations, state.cumulative_observations,
+                reference_text)
             state.cumulative_observations.update(detected)
-
-            if not missing:
-                logger.debug("complete after %d iterations", iteration + 1)
+            if done:
+                logger.debug("complete/consistent after %d iterations",
+                             iteration + 1)
                 break
 
             query = self.retriever.build_retrieval_query(missing)

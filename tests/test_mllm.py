@@ -112,3 +112,13 @@ def test_sampled_generation_runs(decoder):
                    max_new_tokens=4, temperature=1.0, eos_id=-1)
     assert out.shape == (1, 4)
     assert (np.asarray(out) >= 0).all()
+
+
+def test_generate_rejects_cache_overflow(decoder):
+    model, params = decoder
+    prompt = jnp.asarray(np.random.default_rng(0).integers(
+        4, 128, (1, CFG.max_length)), jnp.int32)
+    mask = jnp.ones_like(prompt)
+    with pytest.raises(ValueError, match="max_new_tokens"):
+        generate(model, params, prompt, mask, max_new_tokens=8,
+                 temperature=0.0)
