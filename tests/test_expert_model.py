@@ -184,3 +184,22 @@ def test_guarded_step_skips_nonfinite(cfg, batch):
     state3, m2 = step(state2, batch, rng)
     assert float(m2["skipped_nonfinite"]) == 0.0
     assert np.isfinite(float(m2["loss"]))
+
+
+def test_train_step_is_deterministic(cfg, batch):
+    """Bitwise determinism of the jitted train step (race detection:
+    explicit PRNG keys mean any run-to-run difference is a defect)."""
+    from radar_tpu.utils.determinism import check_determinism
+    model = _model(cfg, "baseline")
+    state = create_train_state(model, jax.random.key(0), batch, cfg.train)
+    step = make_train_step(model, baseline_loss_fn)
+    rng = jax.random.key(1)
+
+    def run():
+        # fresh state each run (step donates its input)
+        s = create_train_state(model, jax.random.key(0), batch,
+                               cfg.train)
+        s, m = step(s, batch, rng)
+        return {"params": s.params, "loss": m["loss"]}
+
+    assert check_determinism(run)
