@@ -80,3 +80,50 @@ def test_bert_import_forward_equivalence():
     np.testing.assert_allclose(
         np.asarray(ours["pooler_output"]),
         hf_out.pooler_output.numpy(), atol=2e-3, rtol=2e-2)
+
+
+def test_import_weights_cli(tmp_path):
+    """End-to-end: save local HF models, run the import CLI, reload the
+    Orbax params into our towers and forward."""
+    import jax
+    import jax.numpy as jnp
+
+    from radar_tpu.cli.import_weights import main
+    from radar_tpu.core.checkpoint import load_params
+    from radar_tpu.core.config import TextConfig, VisionConfig
+    from radar_tpu.models.bert import BertTextEncoder
+    from radar_tpu.models.vision import VisionTransformer
+
+    torch.manual_seed(0)
+    vit = transformers.ViTModel(transformers.ViTConfig(
+        image_size=32, patch_size=8, hidden_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128))
+    vit.save_pretrained(tmp_path / "vit")
+    bert = transformers.BertModel(transformers.BertConfig(
+        vocab_size=100, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=32))
+    bert.save_pretrained(tmp_path / "bert")
+
+    out = tmp_path / "imported"
+    summary = main(["--vision", str(tmp_path / "vit"),
+                    "--text", str(tmp_path / "bert"),
+                    "--output", str(out)])
+    assert summary["vision"]["depth"] == 2
+    assert summary["text"]["vocab_size"] == 100
+
+    vcfg = VisionConfig.from_yaml(str(out / "vision_config.yaml"))
+    vparams = load_params(str(out / "vision"))
+    model = VisionTransformer(vcfg)
+    o = model.apply({"params": vparams},
+                    jnp.zeros((1, 32, 32, 3), jnp.float32))
+    assert o["pooler_output"].shape == (1, 64)
+
+    tcfg = TextConfig.from_yaml(str(out / "text_config.yaml"))
+    tparams = load_params(str(out / "text"))
+    tmodel = BertTextEncoder(tcfg)
+    o = tmodel.apply({"params": tparams},
+                     jnp.zeros((1, 16), jnp.int32),
+                     jnp.ones((1, 16), jnp.int32))
+    assert o["pooler_output"].shape == (1, 64)
