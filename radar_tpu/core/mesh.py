@@ -93,6 +93,22 @@ def active_mesh() -> Mesh | None:
     return _ACTIVE_MESH[-1] if _ACTIVE_MESH else None
 
 
+def maybe_initialize_distributed() -> bool:
+    """Initialise ``jax.distributed`` when multi-host env vars are
+    present (COORDINATOR_ADDRESS / JAX_PROCESS_COUNT or a TPU pod
+    runtime). No-op on a single host. Returns True if initialised.
+
+    Multi-slice/DCN deployments call this before ``build_mesh`` so
+    ``jax.devices()`` spans all hosts (see docs/DESIGN.md).
+    """
+    import os
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or \
+            os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize()
+        return True
+    return False
+
+
 def single_device_mesh() -> Mesh:
     """A 1x1 mesh — lets every code path be mesh-driven even on one chip."""
     return Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
