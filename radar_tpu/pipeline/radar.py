@@ -61,18 +61,45 @@ class RadarPipeline:
     # ------------------------------------------------------------------
     def predict_observations(self, image: np.ndarray,
                              clinical_context: str,
-                             threshold: float = 0.5) -> dict:
-        """Expert-stage observation probabilities + confident set."""
+                             threshold: float | None = None,
+                             max_uncertainty: float = 0.2,
+                             rng: jax.Array | None = None) -> dict:
+        """Expert-stage observation probabilities + confident set.
+
+        For an ``UncertaintyExpert`` (detected by its calibrated
+        ``temperature``/``thresholds`` params) this runs the vmapped
+        MC-dropout pass and gates on the per-observation calibrated
+        thresholds AND predictive uncertainty (the reference's
+        ``get_confident_observations`` role,
+        ``modeling_expert_model_uncertainty.py:110-140``); otherwise a
+        single deterministic forward with a scalar threshold.
+        """
         ids, mask = self.tokenizer.encode(clinical_context,
                                           self.config.text.max_length)
-        probs = jax.nn.sigmoid(self._expert_fwd(
-            self.expert_params, jnp.asarray(image)[None],
-            jnp.asarray(ids)[None], jnp.asarray(mask)[None]))[0]
-        probs = np.asarray(probs)
+        pv = jnp.asarray(image)[None]
+        tid = jnp.asarray(ids)[None]
+        tmask = jnp.asarray(mask)[None]
+        uncertainty = None
+        if ("thresholds" in self.expert_params
+                and hasattr(self.expert_model, "head")):
+            from ..models.uncertainty import mc_dropout_predict
+            out = mc_dropout_predict(
+                self.expert_model, self.expert_params, pv, tid, tmask,
+                rng if rng is not None else jax.random.key(0))
+            probs = np.asarray(out["mean_probs"])[0]
+            uncertainty = np.asarray(out["std_probs"])[0]
+            th = np.asarray(self.expert_params["thresholds"])
+            confident_mask = (probs > th) & (uncertainty < max_uncertainty)
+        else:
+            probs = np.asarray(jax.nn.sigmoid(self._expert_fwd(
+                self.expert_params, pv, tid, tmask)))[0]
+            confident_mask = probs > (threshold
+                                      if threshold is not None else 0.5)
         confident = {OBSERVATION_NAMES[i]: float(probs[i])
                      for i in range(len(OBSERVATION_NAMES))
-                     if probs[i] > threshold}
-        return {"probs": probs, "confident_observations": confident}
+                     if confident_mask[i]}
+        return {"probs": probs, "uncertainty": uncertainty,
+                "confident_observations": confident}
 
     # ------------------------------------------------------------------
     def _make_generation_fn(self, image_embedding):

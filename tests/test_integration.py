@@ -185,3 +185,20 @@ def test_batched_pipeline_matches_contract(cfg, dataset, tokenizer):
         assert 1 <= r["iterations"] <= cfg.rag.max_iterations
         assert 0.0 <= r["consistency_score"] <= 1.0
         assert isinstance(r["expert_observations"], dict)
+
+
+def test_pipeline_uncertainty_expert_path(cfg, dataset, tokenizer):
+    """The pipeline routes an UncertaintyExpert through the MC-dropout
+    + calibrated-threshold confident-observation gate."""
+    expert = create_model("uncertainty", cfg.vision, cfg.text, cfg.expert)
+    s = dataset[0]
+    pv = jnp.asarray(s["pixel_values"])[None]
+    ids = jnp.asarray(s["input_ids"])[None]
+    mask = jnp.asarray(s["attention_mask"])[None]
+    params = expert.init(jax.random.key(0), pv, ids, mask)["params"]
+    pipe = RadarPipeline(cfg, tokenizer, expert, params)
+    out = pipe.predict_observations(s["pixel_values"],
+                                    s["clinical_context"])
+    assert out["uncertainty"] is not None
+    assert out["uncertainty"].shape == (14,)
+    assert isinstance(out["confident_observations"], dict)
