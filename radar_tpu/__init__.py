@@ -1,4 +1,39 @@
 """radar_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework with the
-capabilities of the RADAR multimodal-radiology reference."""
+capabilities of the RADAR multimodal-radiology reference.
+
+Public surface (lazily imported to keep `import radar_tpu` light):
+
+    from radar_tpu import RadarConfig, tiny_config, serving_config
+    from radar_tpu import create_model, RadarPipeline, create_dpr_model
+"""
 
 __version__ = "0.1.0"
+
+_EXPORTS = {
+    "RadarConfig": "radar_tpu.core.config",
+    "tiny_config": "radar_tpu.core.config",
+    "serving_config": "radar_tpu.core.config",
+    "build_mesh": "radar_tpu.core.mesh",
+    "create_model": "radar_tpu.models.experts",
+    "ReportDecoder": "radar_tpu.models.decoder",
+    "generate": "radar_tpu.models.decoder",
+    "AttentionKnowledgeFusion": "radar_tpu.fusion.fusion",
+    "create_dpr_model": "radar_tpu.retrieval.dpr",
+    "ShardedIndex": "radar_tpu.retrieval.index",
+    "IterativeRAG": "radar_tpu.pipeline.rag",
+    "RadarPipeline": "radar_tpu.pipeline.radar",
+    "Tokenizer": "radar_tpu.data.tokenizer",
+    "SyntheticCXRDataset": "radar_tpu.data.synthetic",
+    "ExpertModelDataset": "radar_tpu.data.dataset",
+    "ExpertTrainer": "radar_tpu.core.trainer",
+}
+
+__all__ = sorted(_EXPORTS) + ["__version__"]
+
+
+def __getattr__(name):
+    if name in _EXPORTS:
+        import importlib
+        module = importlib.import_module(_EXPORTS[name])
+        return getattr(module, name)
+    raise AttributeError(f"module 'radar_tpu' has no attribute {name!r}")

@@ -102,3 +102,34 @@ class Tokenizer:
                 continue
             words.append(self.inv.get(int(i), "[UNK]"))
         return " ".join(words)
+
+
+class HFTokenizerAdapter:
+    """Adapt a ``transformers`` tokenizer to this framework's interface
+    (encode/encode_batch/decode with fixed-length numpy outputs), so
+    production deployments can use a clinical wordpiece vocabulary
+    wherever a ``Tokenizer`` is accepted."""
+
+    def __init__(self, hf_tokenizer):
+        self.hf = hf_tokenizer
+
+    @property
+    def vocab_size(self) -> int:
+        return len(self.hf)
+
+    def encode(self, text: str, max_length: int = 128):
+        out = self.hf(text, padding="max_length", truncation=True,
+                      max_length=max_length)
+        return (np.asarray(out["input_ids"], np.int32),
+                np.asarray(out["attention_mask"], np.int32))
+
+    def encode_batch(self, texts: list[str], max_length: int = 128):
+        out = self.hf(list(texts), padding="max_length", truncation=True,
+                      max_length=max_length)
+        return (np.asarray(out["input_ids"], np.int32),
+                np.asarray(out["attention_mask"], np.int32))
+
+    def decode(self, ids) -> str:
+        return self.hf.decode(
+            [int(i) for i in np.asarray(ids).tolist() if int(i) != 0],
+            skip_special_tokens=True)

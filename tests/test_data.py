@@ -188,3 +188,30 @@ def test_prefetch_propagates_errors(dataset):
     next(it)
     with pytest.raises(RuntimeError, match="boom"):
         list(it)
+
+
+def test_hf_tokenizer_adapter(tmp_path):
+    transformers = pytest.importorskip("transformers")
+    from radar_tpu.data.tokenizer import HFTokenizerAdapter
+    vocab = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]",
+             "cardiomegaly", "pleural", "effusion", "with", "the"]
+    vf = tmp_path / "vocab.txt"
+    vf.write_text("\n".join(vocab))
+    hf = transformers.BertTokenizerFast(vocab_file=str(vf),
+                                        do_lower_case=True)
+    tok = HFTokenizerAdapter(hf)
+    ids, mask = tok.encode("cardiomegaly with pleural effusion", 12)
+    assert ids.shape == (12,) and mask.sum() >= 6
+    batch_ids, batch_mask = tok.encode_batch(
+        ["cardiomegaly", "pleural effusion"], 8)
+    assert batch_ids.shape == (2, 8)
+    assert "cardiomegaly" in tok.decode(ids)
+
+
+def test_public_api_exports():
+    import radar_tpu
+    assert radar_tpu.RadarConfig is not None
+    assert radar_tpu.RadarPipeline is not None
+    assert callable(radar_tpu.create_model)
+    with pytest.raises(AttributeError):
+        radar_tpu.not_a_thing
