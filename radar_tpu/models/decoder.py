@@ -50,7 +50,7 @@ class CachedSelfAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None, cache=None, write_pos=None,
-                 valid_len=None):
+                 valid_len=None, ring=None):
         e = x.shape[-1]
         q = _split_heads(nn.Dense(e, dtype=self.dtype, name="q")(x),
                          self.num_heads)
@@ -60,6 +60,17 @@ class CachedSelfAttention(nn.Module):
                          self.num_heads)
 
         if cache is None:
+            if ring is not None:
+                # context-parallel prefill: sequence-sharded ring
+                # attention over the given (mesh, axis)
+                from ..parallel.context import ring_attention
+                mesh, axis = ring
+                out = ring_attention(q, k, v, mesh, axis, causal=True,
+                                     kv_mask=attn_mask)
+                new_kv = (k, v)
+                out = nn.Dense(e, dtype=self.dtype,
+                               name="out")(_merge_heads(out))
+                return out, new_kv
             mask = None
             if attn_mask is not None:  # [B, T] padding mask
                 mask = attn_mask[:, None, None, :].astype(bool)
@@ -92,11 +103,12 @@ class DecoderBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, attn_mask=None, cache=None, write_pos=None,
-                 *, deterministic: bool = True):
+                 ring=None, *, deterministic: bool = True):
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         attn_out, new_kv = CachedSelfAttention(
             self.num_heads, self.dtype, name="attn")(
-            h, attn_mask=attn_mask, cache=cache, write_pos=write_pos)
+            h, attn_mask=attn_mask, cache=cache, write_pos=write_pos,
+            ring=ring)
         x = x + nn.Dropout(self.dropout_rate)(
             attn_out, deterministic=deterministic)
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
@@ -164,11 +176,18 @@ class ReportDecoder(nn.Module):
 
     # -- decode path -----------------------------------------------------
     def prefill(self, input_ids, attention_mask, prefix_embedding=None,
-                cache_len: int | None = None):
+                cache_len: int | None = None, ring=None):
         """Run the prompt through the stack, returning (logits, kv_list)
         padded to ``cache_len`` slots (default ``max_length``) —
         sizing the cache to prompt+new_tokens instead of the full
-        position table cuts per-step decode attention proportionally."""
+        position table cuts per-step decode attention proportionally.
+
+        ``ring=(mesh, axis)`` runs the prefill attention context-
+        parallel (sequence sharded over the mesh axis, ring K/V
+        rotation) for long retrieved-evidence prompts; the returned
+        caches are global (the per-shard K/V are what the shard holds),
+        ready for ordinary single-program decode.
+        """
         cfg = self.config
         b, t = input_ids.shape
         positions = jnp.broadcast_to(jnp.arange(t), (b, t))
@@ -182,7 +201,7 @@ class ReportDecoder(nn.Module):
         cache_len = cache_len or cfg.max_length
         caches = []
         for block in self.blocks:
-            x, (k, v) = block(x, attn_mask=attention_mask)
+            x, (k, v) = block(x, attn_mask=attention_mask, ring=ring)
             pad = cache_len - k.shape[2]
             k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
             v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))

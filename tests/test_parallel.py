@@ -66,3 +66,39 @@ def test_ring_attention_jits_and_shards(mesh_data):
     ref = ring_attention_reference(q, q, q)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_cp_prefill_matches_plain(mesh_data):
+    """Decoder prefill with ring (context-parallel) attention must match
+    the single-program prefill bitwise-closely, ragged masks included."""
+    import jax.numpy as jnp
+
+    from radar_tpu.core.config import DecoderConfig
+    from radar_tpu.models.decoder import ReportDecoder
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, depth=2,
+                        num_heads=4, max_length=64, prefix_dim=16)
+    model = ReportDecoder(cfg)
+    rng = np.random.default_rng(0)
+    b, t = 2, 32   # t divides the 8-way axis
+    ids = jnp.asarray(rng.integers(4, 64, (b, t)), jnp.int32)
+    mask = jnp.asarray(np.stack([
+        (np.arange(t) < 20).astype(np.int32),
+        np.ones(t, np.int32)]))
+    prefix = jnp.zeros((b, cfg.prefix_dim), jnp.float32)
+    params = model.init(jax.random.key(0), ids, mask, prefix)["params"]
+
+    logits_ref, caches_ref = model.apply(
+        {"params": params}, ids, mask, method=model.prefill)
+    logits_cp, caches_cp = model.apply(
+        {"params": params}, ids, mask, method=model.prefill,
+        ring=(mesh_data, "data"))
+    # padded-out positions may differ (ring zeroes fully-masked rows);
+    # compare real positions only
+    real = np.asarray(mask, bool)
+    np.testing.assert_allclose(
+        np.asarray(logits_cp)[real], np.asarray(logits_ref)[real],
+        atol=2e-5, rtol=1e-4)
+    for (kc, vc), (kr, vr) in zip(caches_cp, caches_ref):
+        np.testing.assert_allclose(np.asarray(kc), np.asarray(kr),
+                                   atol=2e-5, rtol=1e-4)
