@@ -276,6 +276,8 @@ def serving_config() -> RadarConfig:
     return RadarConfig.from_dict({
         "vision": {"patch_size": 32},
         "text": {"depth": 4, "hidden_size": 512, "num_heads": 8},
+        # fusion consumes the text tower's token features; dims must match
+        "fusion": {"hidden_size": 512, "num_heads": 8},
         "train": {"eval_batch_size": 512},
     })
 
