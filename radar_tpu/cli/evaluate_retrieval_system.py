@@ -74,9 +74,8 @@ def main(argv=None):
                      else [args.contribution])
     results = {}
 
-    train_meta = [train_ds.sample_meta(i) for i in range(len(train_ds))]
-    passages = [m["report"] for m in train_meta]
-    passage_labels = np.stack([m["labels"] for m in train_meta])
+    passages = train_ds.get_passages()
+    passage_labels = train_ds.get_observations()
     nq = min(args.num_queries, len(test_ds))
     test_meta = [test_ds.sample_meta(i) for i in range(nq)]
     query_texts = [m["report"] for m in test_meta]

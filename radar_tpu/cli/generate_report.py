@@ -77,9 +77,8 @@ def main(argv=None):
             emb_ckpt, {"params": dpr.embedder.params})["params"]
         logger.info("restored embedder from %s", emb_ckpt)
     n = min(args.passages, len(train_ds))
-    meta = [train_ds.sample_meta(i) for i in range(n)]
-    dpr.build_retrieval_database([m["report"] for m in meta],
-                                 np.stack([m["labels"] for m in meta]))
+    dpr.build_retrieval_database(train_ds.get_passages()[:n],
+                                 train_ds.get_observations()[:n])
 
     decoder = ReportDecoder(cfg.decoder)
     did = jnp.zeros((1, 8), jnp.int32)

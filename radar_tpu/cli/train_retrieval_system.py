@@ -58,8 +58,7 @@ def main(argv=None):
                      if args.contribution == "all"
                      else [args.contribution])
 
-    train_meta = [train_ds.sample_meta(i) for i in range(len(train_ds))]
-    labels = np.stack([m["labels"] for m in train_meta])
+    labels = train_ds.get_observations()
 
     if "2.1" in contributions:
         from ..retrieval.training import (retrieval_alignment,
@@ -108,8 +107,9 @@ def main(argv=None):
     if "2.3" in contributions:
         from ..models.lm_training import make_lm_examples, train_decoder_lm
         t0 = time.time()
-        contexts = [m["clinical_context"] for m in train_meta]
-        reports = [m["report"] for m in train_meta]
+        meta = [train_ds.sample_meta(i) for i in range(len(train_ds))]
+        contexts = [m["clinical_context"] for m in meta]
+        reports = [m["report"] for m in meta]
         ids, attn, lmask = make_lm_examples(
             contexts, reports, tokenizer, cfg.decoder.max_length)
 

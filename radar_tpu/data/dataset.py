@@ -162,6 +162,17 @@ class ExpertModelDataset:
                 return p
         return parts[2] if len(parts) > 2 else sample["id"]
 
+    def get_passages(self) -> list[str]:
+        """All report passages (the reference's
+        ``MIMICCXRDataLoader.get_passages``, dpr.py:154) — no image IO."""
+        return [s["report"] for s in self.samples]
+
+    def get_observations(self) -> np.ndarray:
+        """[N, 14] multi-hot observation matrix (the reference's
+        ``get_observations_list`` role, dpr.py:163)."""
+        return np.stack([labels_from_observations(s["observations"])
+                         for s in self.samples])
+
     def sample_meta(self, idx: int) -> dict:
         """Text/label fields WITHOUT decoding the image — use for
         retrieval-DB and LM-corpus construction over large datasets."""

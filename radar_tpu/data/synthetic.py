@@ -116,6 +116,12 @@ class SyntheticCXRDataset:
         img = np.clip(img + sig, 0.0, 2.0)
         return np.repeat(img[..., None], 3, axis=-1)
 
+    def get_passages(self) -> list[str]:
+        return list(self.reports)
+
+    def get_observations(self) -> np.ndarray:
+        return self.labels.copy()
+
     def sample_meta(self, idx: int) -> dict:
         """Text/label fields without generating the image (uniform API
         with ExpertModelDataset.sample_meta)."""
