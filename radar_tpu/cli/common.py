@@ -6,8 +6,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
-
 from ..core.config import MeshConfig, RadarConfig
 from ..core.logging import get_logger
 from ..core.mesh import build_mesh

@@ -27,7 +27,6 @@ from ..core.checkpoint import load_params
 from ..core.logging import get_logger
 from ..data.tokenizer import Tokenizer
 from ..models.decoder import ReportDecoder
-from ..models.experts import create_model
 from ..pipeline.radar import RadarPipeline
 from ..retrieval.dpr import create_dpr_model
 from .common import (add_common_args, add_data_args, build_datasets,

@@ -19,8 +19,6 @@ import json
 import os
 import time
 
-import numpy as np
-
 from ..core.checkpoint import save_params
 from ..core.logging import get_logger
 from ..data.tokenizer import Tokenizer

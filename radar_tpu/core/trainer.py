@@ -17,7 +17,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..eval.metrics import f1_scores
-from ..models import losses as L
 from ..models.experts import create_model
 from ..models.uncertainty import calibrate_temperature, fit_thresholds
 from .checkpoint import CheckpointManager

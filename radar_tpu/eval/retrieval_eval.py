@@ -13,7 +13,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..core import constants
 from ..core.logging import get_logger
 from ..pipeline.observations import ObservationDetector
 from ..pipeline.rag import IterativeRAG

@@ -12,7 +12,6 @@ from __future__ import annotations
 
 import flax.linen as nn
 import jax.numpy as jnp
-from jax.ad_checkpoint import checkpoint_policies as _policies  # noqa: F401
 
 from ..ops.attention import dot_product_attention
 

@@ -19,7 +19,7 @@ import optax
 from ..core.config import RadarConfig
 from ..core.logging import get_logger
 from ..core.training import make_optimizer
-from ..data.tokenizer import SEP, Tokenizer
+from ..data.tokenizer import Tokenizer
 from .decoder import ReportDecoder, lm_loss
 
 logger = get_logger("radar_tpu.lm")

@@ -15,8 +15,6 @@ the CPU-simulated mesh in tests and on a real slice.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import shard_map
