@@ -1,0 +1,133 @@
+"""Full-RADAR pipeline evaluation CLI: assemble expert + retrieval +
+decoder from checkpoints, generate reports over a test set, and measure
+BLEU-1/4, ROUGE-L, observation F1 (the CheXbert-F1 analog), loop
+behavior and latency — the measured counterpart of the reference's
+expected "Full RADAR BLEU-4" rows (BASELINE.md rows 5-8).
+
+Usage:
+    python -m radar_tpu.cli.evaluate_pipeline --synthetic --tiny \
+        --expert_checkpoint ./checkpoints/expert_models/baseline \
+        --retrieval_checkpoint ./checkpoints/retrieval_system \
+        --num_samples 16
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.checkpoint import load_params
+from ..core.logging import get_logger
+from ..data.tokenizer import Tokenizer
+from ..eval.pipeline_eval import evaluate_pipeline
+from ..models.decoder import ReportDecoder
+from ..pipeline.radar import RadarPipeline
+from ..retrieval.dpr import create_dpr_model
+from .common import (add_common_args, add_data_args, build_datasets,
+                     load_config)
+from .evaluate_expert_models import load_model_params
+from .evaluate_retrieval_system import _normalized_image
+
+logger = get_logger("radar_tpu.eval_pipeline")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Evaluate the full two-stage RADAR pipeline")
+    parser.add_argument("--model_type", type=str, default="baseline")
+    parser.add_argument("--expert_checkpoint", type=str, default=None)
+    parser.add_argument("--retrieval_checkpoint", type=str,
+                        default="./checkpoints/retrieval_system")
+    parser.add_argument("--num_samples", type=int, default=16)
+    parser.add_argument("--passages", type=int, default=128)
+    parser.add_argument("--use_reference", action="store_true",
+                        help="Reference-guided RAG (evaluation mode)")
+    parser.add_argument("--output_path", type=str,
+                        default="./results/pipeline_evaluation.json")
+    add_data_args(parser)
+    add_common_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
+    train_ds, test_ds = datasets["train"], datasets["test"]
+
+    sample_batch = next(iter(train_ds.batches(2)))
+    if "raw_images" in sample_batch:
+        sample_batch = train_ds.device_batch(sample_batch)
+    expert, expert_params = load_model_params(
+        args.model_type, args.expert_checkpoint, cfg, sample_batch)
+
+    dpr = create_dpr_model(cfg, tokenizer)
+    emb_ckpt = os.path.join(args.retrieval_checkpoint, "embedder")
+    if os.path.isdir(emb_ckpt):
+        dpr.embedder.params = load_params(
+            emb_ckpt, {"params": dpr.embedder.params})["params"]
+    n = min(args.passages, len(train_ds))
+    dpr.build_retrieval_database(train_ds.get_passages()[:n],
+                                 train_ds.get_observations()[:n])
+
+    decoder = ReportDecoder(cfg.decoder)
+    decoder_params = decoder.init(
+        jax.random.key(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.zeros((1, cfg.decoder.prefix_dim), jnp.float32))["params"]
+    dec_ckpt = os.path.join(args.retrieval_checkpoint, "decoder")
+    if os.path.isdir(dec_ckpt):
+        decoder_params = load_params(
+            dec_ckpt, {"params": jax.device_get(decoder_params)})["params"]
+
+    # optional trained fusion for conflict filtering
+    fusion_module = fusion_params = None
+    fus_ckpt = os.path.join(args.retrieval_checkpoint, "fusion")
+    if (os.path.isdir(fus_ckpt)
+            and cfg.fusion.hidden_size == cfg.text.hidden_size):
+        from ..fusion.fusion import AttentionKnowledgeFusion
+        fusion_module = AttentionKnowledgeFusion(cfg.fusion)
+        dummy = jnp.zeros((2, 8, cfg.fusion.hidden_size), jnp.float32)
+        fusion_params = fusion_module.init(jax.random.key(0), dummy,
+                                           dummy)["params"]
+        fusion_params = load_params(
+            fus_ckpt, {"params": jax.device_get(fusion_params)})["params"]
+
+    pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
+                         decoder, decoder_params, fusion_module,
+                         fusion_params)
+
+    num = min(args.num_samples, len(test_ds))
+    samples = []
+    for i in range(num):
+        s = test_ds[i]
+        meta = test_ds.sample_meta(i)
+        samples.append({
+            "pixel_values": _normalized_image(s, cfg),
+            "clinical_context": meta["clinical_context"],
+            "report": meta["report"],
+            "labels": meta["labels"],
+        })
+
+    results = evaluate_pipeline(pipe, samples,
+                                use_reference=args.use_reference)
+    os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
+                exist_ok=True)
+    with open(args.output_path, "w") as f:
+        json.dump(results, f, indent=2)
+    logger.info("pipeline eval: bleu_4=%.3f obs_micro_f1=%.3f "
+                "p50=%.2fs -> %s", results["bleu_4"],
+                results["observation_micro_f1"],
+                results["latency_p50_seconds"], args.output_path)
+    print(json.dumps(results, indent=2))
+    return results
+
+
+if __name__ == "__main__":
+    main()

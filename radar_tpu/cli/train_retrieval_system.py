@@ -103,13 +103,12 @@ def main(argv=None):
                           "seconds": round(time.time() - t0, 2)}
 
     if "2.3" in contributions:
-        from ..models.lm_training import make_lm_examples, train_decoder_lm
+        from ..models.lm_training import (make_pipeline_lm_examples,
+                                          train_decoder_lm)
         t0 = time.time()
         meta = [train_ds.sample_meta(i) for i in range(len(train_ds))]
-        contexts = [m["clinical_context"] for m in meta]
-        reports = [m["report"] for m in meta]
-        ids, attn, lmask = make_lm_examples(
-            contexts, reports, tokenizer, cfg.decoder.max_length)
+        ids, attn, lmask = make_pipeline_lm_examples(
+            meta, tokenizer, cfg.decoder.max_length)
 
         def batches():
             for s in range(0, len(ids) - bs + 1, bs):

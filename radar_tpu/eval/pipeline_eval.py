@@ -1,0 +1,85 @@
+"""Full two-stage pipeline evaluation — measured counterparts for the
+reference's "Full RADAR BLEU-4" expectation rows (BASELINE.md rows 5-8,
+which the reference never measures):
+
+- report text quality: BLEU-1/BLEU-4, ROUGE-L vs reference reports;
+- clinical accuracy: observation F1 of the *generated report's*
+  detected observations against the ground-truth label vector (the
+  CheXbert-F1 analog, using the rule-based detector);
+- loop behavior: average iterations, consistency, convergence;
+- latency: per-study wall-clock p50.
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from ..core import constants
+from ..pipeline.observations import ObservationDetector
+from . import metrics as M
+
+# RAG detector vocabulary -> canonical CheXpert-14 name
+_ALIAS = {
+    "Pulmonary Edema": "Edema",
+    "Rib Fracture": "Fracture",
+}
+
+
+def observations_to_multihot(names: set[str]) -> np.ndarray:
+    out = np.zeros(constants.NUM_OBSERVATIONS, np.float32)
+    for name in names:
+        canon = _ALIAS.get(name, name)
+        if canon in constants.OBSERVATION_NAMES:
+            out[constants.OBSERVATION_NAMES.index(canon)] = 1.0
+    return out
+
+
+def evaluate_pipeline(pipe, samples: list[dict],
+                      use_reference: bool = False) -> dict:
+    """Run ``pipe.generate_report`` over samples and score the output.
+
+    ``samples``: dicts with pixel_values/clinical_context/report/labels.
+    ``use_reference``: feed the reference report into the RAG loop for
+    missing-observation targeting (evaluation mode); off = blind
+    inference.
+    """
+    det = ObservationDetector()
+    bleu1, bleu4, rouges = [], [], []
+    preds, labels = [], []
+    iters, cons, lats = [], [], []
+    for s in samples:
+        t0 = time.perf_counter()
+        out = pipe.generate_report(
+            np.asarray(s["pixel_values"], np.float32),
+            s["clinical_context"],
+            reference_text=s["report"] if use_reference else None)
+        lats.append(time.perf_counter() - t0)
+        report = out["report"]
+        ref = s["report"]
+        bleu1.append(M.bleu(report, [ref], 1))
+        bleu4.append(M.bleu(report, [ref], 4))
+        rouges.append(M.rouge_l(report, ref))
+        preds.append(observations_to_multihot(
+            det.detect_observations(report)))
+        labels.append(np.asarray(s["labels"], np.float32))
+        iters.append(out["iterations"])
+        cons.append(out["consistency_score"])
+
+    import jax.numpy as jnp
+    f1 = M.f1_scores(jnp.asarray(np.stack(preds)),
+                     jnp.asarray(np.stack(labels)))
+    lats_sorted = sorted(lats)
+    return {
+        "bleu_1": float(np.mean(bleu1)),
+        "bleu_4": float(np.mean(bleu4)),
+        "rouge_l": float(np.mean(rouges)),
+        "observation_macro_f1": float(f1["macro_f1"]),
+        "observation_micro_f1": float(f1["micro_f1"]),
+        "average_iterations": float(np.mean(iters)),
+        "consistency": float(np.mean(cons)),
+        "latency_p50_seconds": lats_sorted[len(lats_sorted) // 2],
+        "num_samples": len(samples),
+        "mode": "reference-guided" if use_reference else "blind",
+    }

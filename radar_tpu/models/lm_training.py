@@ -51,6 +51,48 @@ def make_lm_examples(contexts: list[str], reports: list[str],
             np.stack(loss_mask_all))
 
 
+def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
+                              max_length: int, seed: int = 0,
+                              regen_fraction: float = 0.3):
+    """LM examples in the *serving* prompt formats (pipeline/prompts.py):
+
+    - stage-1: ``build_prompt(context, validated_obs)`` → report, with
+      validated observations taken from the ground-truth labels (what
+      the expert injects at serving time);
+    - regeneration: a truncated draft + ``Retrieved Evidence`` from a
+      label-overlapping study → full report (the RAG-iteration mode).
+
+    ``metas``: dicts with clinical_context/report/labels.
+    """
+    import numpy as np
+
+    from ..core import constants
+    from ..pipeline.prompts import build_prompt, build_regeneration_prompt
+
+    rng = np.random.default_rng(seed)
+    prompts, targets = [], []
+    labels = np.stack([m["labels"] for m in metas])
+    for i, m in enumerate(metas):
+        obs_names = [constants.OBSERVATION_NAMES[j]
+                     for j in range(len(constants.OBSERVATION_NAMES))
+                     if m["labels"][j] > 0.5]
+        if rng.random() < regen_fraction and len(metas) > 1:
+            # regeneration mode: partial draft + evidence from a
+            # label-overlapping neighbour
+            words = m["report"].split()
+            draft = " ".join(words[: max(2, len(words) // 2)])
+            overlap = (labels[:, :13] @ m["labels"][:13]) > 0
+            overlap[i] = False
+            cands = np.nonzero(overlap)[0]
+            ev = [metas[int(rng.choice(cands))]["report"]] if len(cands) \
+                else [m["report"]]
+            prompts.append(build_regeneration_prompt(draft, ev))
+        else:
+            prompts.append(build_prompt(m["clinical_context"], obs_names))
+        targets.append(m["report"])
+    return make_lm_examples(prompts, targets, tokenizer, max_length)
+
+
 def train_decoder_lm(config: RadarConfig,
                      batches: Callable[[], Iterable[dict]],
                      num_epochs: int | None = None, seed: int = 0):

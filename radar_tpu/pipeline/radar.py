@@ -218,14 +218,9 @@ class RadarPipeline:
             image_embeddings = jnp.asarray(
                 self.dpr.embedder.embed_images(list(images)))
 
-        contexts = []
-        for i in range(n):
-            validated = ""
-            if expert_obs[i]:
-                validated = ("\nValidated observations: "
-                             + ", ".join(sorted(expert_obs[i])))
-            contexts.append(f"Clinical context: {clinical_contexts[i]}"
-                            f"{validated}\nFindings:")
+        from .prompts import build_prompt
+        contexts = [build_prompt(clinical_contexts[i], expert_obs[i])
+                    for i in range(n)]
 
         preliminary = self._batch_generate(contexts, image_embeddings)
         generations: list[list[str]] = [[p] for p in preliminary]
@@ -260,8 +255,9 @@ class RadarPipeline:
                     passages, missing, seen[i])
                 seen[i].update(ranked)
                 retrieved[i].extend(ranked)
-                evidence = "\n".join(ranked[: cfg.evidence_passages])
-                current[i] = (f"{gen}\n\nRetrieved Evidence:\n{evidence}")
+                from .prompts import build_regeneration_prompt
+                current[i] = build_regeneration_prompt(
+                    gen, ranked[: cfg.evidence_passages])
             if all(done):
                 break
             # one batched decode for everyone (frozen rows ignored)
@@ -303,14 +299,11 @@ class RadarPipeline:
         # stage 1: preliminary findings from the decoder; the expert's
         # validated observations are injected into the prompt (the
         # "expert filters knowledge" step of RADAR, README.md:7-10)
+        from .prompts import build_prompt
         generation_fn = self._make_generation_fn(image_embedding)
-        validated = ""
-        if expert_out and expert_out["confident_observations"]:
-            validated = ("\nValidated observations: "
-                         + ", ".join(sorted(
-                             expert_out["confident_observations"])))
-        pf_context = (f"Clinical context: {clinical_context}"
-                      f"{validated}\nFindings:")
+        pf_context = build_prompt(
+            clinical_context,
+            (expert_out or {}).get("confident_observations"))
         preliminary = generation_fn(pf_context)
 
         # stage 3+4: iterative RAG with targeted retrieval and

@@ -118,8 +118,9 @@ class IterativeRAG:
                 passages, missing, state.seen_passages)
             state.update(query, ranked, detected)
 
-            evidence = "\n".join(ranked[: cfg.evidence_passages])
-            context = f"{generated}\n\nRetrieved Evidence:\n{evidence}"
+            from .prompts import build_regeneration_prompt
+            context = build_regeneration_prompt(
+                generated, ranked[: cfg.evidence_passages])
 
         final_consistency = self.verifier.compute_consistency(generations)
         consistent = self.verifier.find_consistent_observations(generations)
