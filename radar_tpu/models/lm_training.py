@@ -69,26 +69,39 @@ def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
     from ..core import constants
     from ..pipeline.prompts import build_prompt, build_regeneration_prompt
 
+    from ..pipeline.observations import ObservationDetector
+
+    det = ObservationDetector()
     rng = np.random.default_rng(seed)
     prompts, targets = [], []
-    labels = np.stack([m["labels"] for m in metas])
     for i, m in enumerate(metas):
         obs_names = [constants.OBSERVATION_NAMES[j]
                      for j in range(len(constants.OBSERVATION_NAMES))
                      if m["labels"][j] > 0.5]
+        regen = None
         if rng.random() < regen_fraction and len(metas) > 1:
-            # regeneration mode: partial draft + evidence from a
-            # label-overlapping neighbour
-            words = m["report"].split()
-            draft = " ".join(words[: max(2, len(words) // 2)])
-            overlap = (labels[:, :13] @ m["labels"][:13]) > 0
-            overlap[i] = False
-            cands = np.nonzero(overlap)[0]
-            ev = [metas[int(rng.choice(cands))]["report"]] if len(cands) \
-                else [m["report"]]
-            prompts.append(build_regeneration_prompt(draft, ev))
-        else:
-            prompts.append(build_prompt(m["clinical_context"], obs_names))
+            # regeneration mode mirroring the serving RAG iteration:
+            # a draft MISSING one observation's sentence + evidence
+            # passages that CONTAIN the missing observation -> the
+            # complete report.
+            sents = [s for s in m["report"].split(". ") if s]
+            droppable = [k for k, s in enumerate(sents)
+                         if det.detect_observations(s)]
+            if len(sents) >= 2 and droppable:
+                k = int(rng.choice(droppable))
+                missing_obs = det.detect_observations(sents[k])
+                draft = ". ".join(s for j, s in enumerate(sents)
+                                  if j != k)
+                cands = [j for j, other in enumerate(metas)
+                         if j != i and (missing_obs
+                                        & det.detect_observations(
+                                            other["report"]))]
+                if cands:
+                    ev = [metas[int(rng.choice(cands))]["report"]]
+                    regen = build_regeneration_prompt(draft, ev)
+        prompts.append(regen if regen is not None
+                       else build_prompt(m["clinical_context"],
+                                         obs_names))
         targets.append(m["report"])
     return make_lm_examples(prompts, targets, tokenizer, max_length)
 
