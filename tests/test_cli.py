@@ -4,6 +4,8 @@ configs, produces its artifacts, and real training signals appear."""
 import json
 import os
 
+import numpy as np
+
 import pytest
 
 pytestmark = pytest.mark.filterwarnings("ignore")
@@ -145,3 +147,28 @@ def test_train_on_prepared_real_data(tmp_path):
         "--output_dir", str(tmp_path / "ckpt")])
     assert r["history"], r
     assert np.isfinite(r["history"][-1]["train_loss"])
+
+
+def test_evaluate_pipeline_cli(tmp_path):
+    from radar_tpu.cli.evaluate_pipeline import main
+    r = main(["--synthetic", "--tiny", "--synthetic_size", "32",
+              "--num_samples", "4", "--passages", "16",
+              "--retrieval_checkpoint", str(tmp_path / "none"),
+              "--output_path", str(tmp_path / "pe.json")])
+    for k in ("bleu_1", "bleu_4", "rouge_l", "observation_micro_f1",
+              "latency_p50_seconds"):
+        assert k in r and np.isfinite(r[k])
+    assert r["mode"] == "blind"
+
+
+def test_prompt_contract():
+    """Training and serving share these exact strings; changing them
+    requires retraining deployed decoders — keep the contract pinned."""
+    from radar_tpu.pipeline.prompts import (build_prompt,
+                                            build_regeneration_prompt)
+    p = build_prompt("Indication: pain", ["Edema", "Cardiomegaly"])
+    assert p == ("Clinical context: Indication: pain\n"
+                 "Validated observations: Cardiomegaly, Edema\nFindings:")
+    assert build_prompt("ctx") == "Clinical context: ctx\nFindings:"
+    r = build_regeneration_prompt("draft text", ["ev1", "ev2"])
+    assert r == "draft text\n\nRetrieved Evidence:\nev1\nev2"
