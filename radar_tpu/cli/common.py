@@ -29,6 +29,12 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--synthetic", action="store_true",
                         help="Use the synthetic dataset (no files needed)")
     parser.add_argument("--synthetic_size", type=int, default=256)
+    parser.add_argument("--context_leak_fraction", type=float,
+                        default=1.0,
+                        help="Fraction of synthetic samples whose "
+                             "clinical context names the positive "
+                             "observations (train with ~0.5 to stop "
+                             "the models copying labels from prompts)")
 
 
 def add_common_args(parser: argparse.ArgumentParser) -> None:
@@ -98,10 +104,12 @@ def build_datasets(args, cfg: RadarConfig, tokenizer: Tokenizer,
         sizes = {"train": args.synthetic_size,
                  "val": max(32, args.synthetic_size // 4),
                  "test": max(32, args.synthetic_size // 4)}
+        leak = getattr(args, "context_leak_fraction", 1.0)
         for i, split in enumerate(splits):
             out[split] = SyntheticCXRDataset(
                 sizes.get(split, 64), cfg.vision.image_size,
-                cfg.text.max_length, seed=100 + i, tokenizer=tokenizer)
+                cfg.text.max_length, seed=100 + i, tokenizer=tokenizer,
+                leak_fraction=leak)
     else:
         for split in splits:
             out[split] = ExpertModelDataset(

@@ -47,6 +47,14 @@ def build_parser():
     parser.add_argument("--passages", type=int, default=128)
     parser.add_argument("--use_reference", action="store_true",
                         help="Reference-guided RAG (evaluation mode)")
+    parser.add_argument("--max_iterations", type=int, default=None,
+                        help="Override rag.max_iterations (1 = "
+                             "single-pass ablation)")
+    parser.add_argument("--leakage_free", action="store_true",
+                        help="Synthetic eval contexts use a generic "
+                             "indication instead of the ground-truth "
+                             "observation names (no label leakage "
+                             "through the prompt)")
     parser.add_argument("--output_path", type=str,
                         default="./results/pipeline_evaluation.json")
     add_data_args(parser)
@@ -57,9 +65,20 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
+    if args.max_iterations:
+        cfg = cfg.override(**{"rag.max_iterations": args.max_iterations})
     tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
     datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
     train_ds, test_ds = datasets["train"], datasets["test"]
+    if args.leakage_free:
+        from ..data.synthetic import SyntheticCXRDataset
+        if not isinstance(test_ds, SyntheticCXRDataset):
+            raise SystemExit("--leakage_free applies to synthetic data")
+        # same seed as build_datasets' test split -> identical
+        # labels/images/reports, only the context string changes
+        test_ds = SyntheticCXRDataset(
+            len(test_ds), cfg.vision.image_size, cfg.text.max_length,
+            seed=101, tokenizer=tokenizer, leak_labels=False)
 
     sample_batch = next(iter(train_ds.batches(2)))
     if "raw_images" in sample_batch:

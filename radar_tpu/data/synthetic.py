@@ -71,10 +71,21 @@ def report_text(label_row: np.ndarray) -> str:
     return " ".join(sents)
 
 
-def context_text(label_row: np.ndarray) -> str:
-    pos = [constants.OBSERVATION_NAMES[i]
-           for i in range(len(label_row)) if label_row[i] > 0.5]
-    obs = ", ".join(pos) if pos else "routine screening"
+def context_text(label_row: np.ndarray, leak_labels: bool = True) -> str:
+    """Clinical-context string for a label row.
+
+    ``leak_labels=True`` (default) mentions the positive observation
+    names in the History field — realistic for MIMIC-style indications
+    but it leaks ground truth into the decoder prompt, inflating
+    pipeline observation-F1 (ADVICE.md r1).  ``leak_labels=False``
+    produces a generic indication for leakage-free evaluation.
+    """
+    if leak_labels:
+        pos = [constants.OBSERVATION_NAMES[i]
+               for i in range(len(label_row)) if label_row[i] > 0.5]
+        obs = ", ".join(pos) if pos else "routine screening"
+    else:
+        obs = "acute cardiopulmonary process"
     return _CONTEXT_TMPL.format(ind="chest pain and dyspnea", obs=obs)
 
 
@@ -86,7 +97,15 @@ class SyntheticCXRDataset:
     def __init__(self, size: int, image_size: int = 64,
                  max_length: int = 64, seed: int = 0,
                  tokenizer: Tokenizer | None = None,
-                 noise: float = 0.35):
+                 noise: float = 0.35, leak_labels: bool = True,
+                 leak_fraction: float | None = None):
+        """``leak_fraction`` (overrides ``leak_labels``): per-sample
+        probability that the clinical context mentions the positive
+        observation names.  Training with a mixed fraction (~0.5)
+        forces the models to learn the image signal instead of copying
+        labels out of the prompt (the leakage failure mode ADVICE r1
+        flagged); 1.0 = always leak (MIMIC-like informative
+        indications), 0.0 = leakage-free eval."""
         self.size = size
         self.image_size = image_size
         self.max_length = max_length
@@ -98,7 +117,12 @@ class SyntheticCXRDataset:
         self.noise = noise
         self._img_rng_seed = seed + 7
         self.reports = [report_text(r) for r in self.labels]
-        self.contexts = [context_text(r) for r in self.labels]
+        if leak_fraction is None:
+            leak_fraction = 1.0 if leak_labels else 0.0
+        leak = rng.random(size) < leak_fraction
+        self.leak_mask = leak
+        self.contexts = [context_text(r, bool(leak[i]))
+                         for i, r in enumerate(self.labels)]
         ids, mask = self.tokenizer.encode_batch(self.contexts, max_length)
         self.input_ids, self.attention_mask = ids, mask
 

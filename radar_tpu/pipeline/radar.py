@@ -102,18 +102,25 @@ class RadarPipeline:
                 "confident_observations": confident}
 
     # ------------------------------------------------------------------
-    def _make_generation_fn(self, image_embedding):
+    def _make_generation_fn(self, image_embedding,
+                            temperature: float = 0.0, seed: int = 0):
+        """Decoder closure; ``temperature > 0`` gives stochastic
+        sampling (seeded, advanced per call) for self-consistency
+        verification — greedy otherwise."""
         max_len = self.config.decoder.max_length
         max_prompt = max_len - self.config.rag.max_new_tokens - 1
+        counter = [0]
 
         def generation_fn(context: str) -> str:
             ids, mask = self.tokenizer.encode(context, max_prompt)
+            rng = jax.random.fold_in(jax.random.key(seed), counter[0])
+            counter[0] += 1
             tokens = generate(
                 self.decoder, self.decoder_params,
                 jnp.asarray(ids)[None], jnp.asarray(mask)[None],
-                prefix_embedding=image_embedding,
+                prefix_embedding=image_embedding, rng=rng,
                 max_new_tokens=self.config.rag.max_new_tokens,
-                temperature=0.0)
+                temperature=temperature)
             return self.tokenizer.decode(np.asarray(tokens)[0])
 
         return generation_fn
@@ -153,18 +160,22 @@ class RadarPipeline:
                            query_observations=None,
                            preliminary_ref=None,
                            conflict_log=None):
-        def retrieval_fn(query: str, k: int) -> list[str]:
+        """Retrieval closure returning (passage, score) pairs — the
+        reference's retrieval contract (``modeling_iterative_rag.py:
+        237-246``) — with fusion conflict filtering applied first."""
+        def retrieval_fn(query: str, k: int) -> list[tuple[str, float]]:
             if self.dpr is None or self.dpr.index.count == 0:
                 return []
             results = self.dpr.retrieve_for_text(
                 query, k, query_observations=query_observations)
             passages = [r["passage"] for r in results]
+            score_of = {r["passage"]: r["score"] for r in results}
             if self._fusion_fwd is not None and preliminary_ref:
                 passages, dropped = self.filter_conflicting_passages(
                     preliminary_ref[0], passages)
                 if conflict_log is not None:
                     conflict_log.extend(dropped)
-            return passages
+            return [(p, score_of.get(p, 0.0)) for p in passages]
         return retrieval_fn
 
     # ------------------------------------------------------------------
@@ -230,6 +241,9 @@ class RadarPipeline:
         done = [False] * n
         current = list(preliminary)
 
+        expected = [self.rag.expected_in_vocab(set(expert_obs[i]))
+                    for i in range(n)]
+
         for iteration in range(cfg.max_iterations - 1):
             # host-side detection + targeted retrieval per active study
             for i in range(n):
@@ -237,22 +251,24 @@ class RadarPipeline:
                     continue
                 gen = generations[i][-1]
                 done[i], missing, detected = self.rag.plan_iteration(
-                    generations[i], cumulative[i], refs[i])
+                    generations[i], cumulative[i], refs[i], expected[i])
                 cumulative[i] |= detected
                 if done[i]:
                     continue
                 query = self.rag.retriever.build_retrieval_query(missing)
-                passages = []
+                passages, scores = [], None
                 if self.dpr is not None and self.dpr.index.count:
                     qob = q_obs[i:i + 1] if q_obs is not None else None
                     hits = self.dpr.retrieve_for_text(query, cfg.top_k,
                                                       qob)
                     passages = [h["passage"] for h in hits]
+                    score_of = {h["passage"]: h["score"] for h in hits}
                     if self._fusion_fwd is not None:
                         passages, _ = self.filter_conflicting_passages(
                             gen, passages)
+                    scores = [score_of.get(p, 0.0) for p in passages]
                 ranked = self.rag.retriever.rank_retrieved_passages(
-                    passages, missing, seen[i])
+                    passages, missing, seen[i], scores)
                 seen[i].update(ranked)
                 retrieved[i].extend(ranked)
                 from .prompts import build_regeneration_prompt
@@ -268,9 +284,15 @@ class RadarPipeline:
 
         results = []
         for i in range(n):
+            if refs[i]:
+                target = self.rag.detector.detect_observations(refs[i])
+            else:
+                target = expected[i] | cumulative[i]
+            best = self.rag.select_best_generation(generations[i], target)
             results.append({
                 "preliminary_findings": preliminary[i],
-                "report": generations[i][-1],
+                "report": generations[i][best],
+                "best_index": best,
                 "iterations": len(generations[i]),
                 "consistency_score":
                     self.rag.verifier.compute_consistency(generations[i]),
@@ -307,14 +329,22 @@ class RadarPipeline:
         preliminary = generation_fn(pf_context)
 
         # stage 3+4: iterative RAG with targeted retrieval and
-        # fusion-stage conflict filtering of supplementary findings
+        # fusion-stage conflict filtering of supplementary findings.
+        # The loop is seeded with the preliminary (counted as iteration
+        # 1, mirroring the batched path) and with the expert stage's
+        # confident observations as the expected set driving blind-mode
+        # missing-observation targeting.
         preliminary_ref = [preliminary]
         conflict_log: list = []
         retrieval_fn = self._make_retrieval_fn(
             image_embedding, q_obs, preliminary_ref, conflict_log)
+        expected = set((expert_out or {}).get(
+            "confident_observations", {}))
         rag_out = self.rag.generate_with_iterative_retrieval(
-            preliminary or pf_context, retrieval_fn, generation_fn,
-            reference_text=reference_text)
+            pf_context, retrieval_fn, generation_fn,
+            reference_text=reference_text,
+            expected_observations=expected,
+            initial_generation=preliminary)
 
         return {
             "preliminary_findings": preliminary,
@@ -327,3 +357,47 @@ class RadarPipeline:
             "conflicting_passages": conflict_log,
             "rag": rag_out,
         }
+
+    def generate_report_with_verification(
+            self, image: np.ndarray, clinical_context: str,
+            num_samples: int | None = None,
+            temperature: float = 0.7, seed: int = 0) -> dict:
+        """N-sample self-consistency serving (reference
+        ``generate_with_verification`` :277-315) with *stochastic*
+        decoding — each sample runs the full iterative loop at
+        ``temperature`` with a distinct seed, so the consistency score
+        measures real agreement (greedy sampling would make all N
+        samples identical and the score trivially 1.0)."""
+        expert_out = None
+        if self._expert_fwd is not None:
+            expert_out = self.predict_observations(image, clinical_context)
+        expected = set((expert_out or {}).get(
+            "confident_observations", {}))
+
+        image_embedding = None
+        q_obs = None
+        if expert_out is not None:
+            q_obs = (expert_out["probs"] > 0.5).astype(np.float32)[None]
+        if self.dpr is not None:
+            image_embedding = jnp.asarray(
+                self.dpr.embedder.embed_images([image]))
+
+        from .prompts import build_prompt
+        pf_context = build_prompt(
+            clinical_context,
+            (expert_out or {}).get("confident_observations"))
+        retrieval_fn = self._make_retrieval_fn(image_embedding, q_obs)
+
+        def fn_factory(i: int):
+            return self._make_generation_fn(
+                image_embedding, temperature=temperature,
+                seed=seed * 1000 + i)
+
+        out = self.rag.generate_with_verification(
+            pf_context, retrieval_fn, fn_factory(0),
+            num_samples=num_samples,
+            expected_observations=expected,
+            generation_fn_factory=fn_factory)
+        out["expert_observations"] = (expert_out or {}).get(
+            "confident_observations", {})
+        return out

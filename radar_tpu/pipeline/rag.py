@@ -25,8 +25,22 @@ from .observations import (ConsistencyVerifier, ObservationDetector,
 
 logger = get_logger("radar_tpu.rag")
 
-RetrievalFn = Callable[[str, int], list[str]]
+#: Retrieval callable: (query, top_k) -> passages. May return either
+#: plain strings or (passage, score) pairs — the reference's
+#: ``retrieval_function`` returns (passages, scores) and ranks with
+#: them (``modeling_iterative_rag.py:237-246``); both shapes are
+#: accepted here.
+RetrievalFn = Callable[[str, int], list]
 GenerationFn = Callable[[str], str]
+
+
+def _split_retrieved(results: list) -> tuple[list[str], list[float] | None]:
+    """Normalize a RetrievalFn result into (passages, scores|None)."""
+    if not results:
+        return [], None
+    if isinstance(results[0], (tuple, list)):
+        return [r[0] for r in results], [float(r[1]) for r in results]
+    return list(results), None
 
 
 @dataclass
@@ -56,9 +70,18 @@ class IterativeRAG:
         self.retriever = TargetedRetriever(self.detector)
 
     # ------------------------------------------------------------------
+    def expected_in_vocab(self, expected_observations) -> set[str]:
+        """Restrict an expected-observation set (e.g. the expert stage's
+        confident observations) to names the detector can actually find,
+        so undetectable names cannot make the loop spin forever."""
+        if not expected_observations:
+            return set()
+        return set(expected_observations) & set(self.detector.vocab)
+
     def plan_iteration(self, generations: list[str],
                        cumulative_observations: set,
-                       reference_text: str | None
+                       reference_text: str | None,
+                       expected_observations: set | None = None
                        ) -> tuple[bool, set, set]:
         """Shared per-study loop decision (used by the single-study loop
         and the batched serving path so they cannot drift).
@@ -66,6 +89,13 @@ class IterativeRAG:
         Returns (done, missing, detected): ``done`` when the latest
         generation is complete (no missing observations) or, without a
         reference, self-consistent across generations.
+
+        In blind mode (no ``reference_text``) the missing set is seeded
+        from ``expected_observations`` — the expert stage's confident
+        observations — plus everything detected in earlier iterations.
+        This is the fix for the reference's defect where blind inference
+        sets ``missing = set()`` and breaks after one pass
+        (``modeling_iterative_rag.py:218-232``; SURVEY §0.2).
         """
         gen = generations[-1]
         detected = self.detector.detect_observations(gen)
@@ -77,61 +107,94 @@ class IterativeRAG:
             if (len(generations) >= 2
                     and consistency >= self.config.consistency_threshold):
                 return True, set(), detected
-            missing = cumulative_observations - detected
+            expected = (self.expected_in_vocab(expected_observations)
+                        | cumulative_observations)
+            missing = expected - detected
         if not missing:
             return True, set(), detected
         return False, missing, detected
+
+    def select_best_generation(self, generations: list[str],
+                               target_observations: set) -> int:
+        """Index of the generation to surface: max coverage of the
+        target observations, then max total observations, then the
+        EARLIEST among ties (regeneration that adds nothing should not
+        replace the cleaner first draft).  The reference picks by
+        most-observations only (``modeling_iterative_rag.py:291-292``)."""
+        def key(i: int):
+            d = self.detector.detect_observations(generations[i])
+            return (len(d & target_observations), len(d), -i)
+        return max(range(len(generations)), key=key)
 
     def generate_with_iterative_retrieval(
             self, initial_findings: str,
             retrieval_function: RetrievalFn,
             generation_function: GenerationFn,
-            reference_text: str | None = None) -> dict:
+            reference_text: str | None = None,
+            expected_observations: set | None = None,
+            initial_generation: str | None = None) -> dict:
         """The main loop (reference ``:198-275``).
 
-        Without ``reference_text`` (inference), completeness is judged
-        by self-consistency across successive generations; with it
-        (evaluation), by missing-observation detection.
+        With ``reference_text`` (evaluation), completeness is judged by
+        missing-observation detection against the reference; without it
+        (blind inference), against ``expected_observations`` (the expert
+        stage's confident set) with a self-consistency early exit.
+
+        ``initial_generation`` seeds the loop with an already-decoded
+        preliminary draft (counted as iteration 1), so the single-study
+        and batched serving paths share one contract: the first
+        regeneration only ever happens with an evidence-augmented
+        prompt.
         """
         cfg = self.config
         state = RetrievalState()
-        context = initial_findings
+        expected = self.expected_in_vocab(expected_observations)
         generations: list[str] = []
-        consistency = 0.0
+        if initial_generation is not None:
+            generations.append(initial_generation)
+        else:
+            generations.append(generation_function(initial_findings))
 
-        for iteration in range(cfg.max_iterations):
-            generated = generation_function(context)
-            generations.append(generated)
-
+        from .prompts import build_regeneration_prompt
+        while True:
             done, missing, detected = self.plan_iteration(
                 generations, state.cumulative_observations,
-                reference_text)
+                reference_text, expected)
             state.cumulative_observations.update(detected)
             if done:
                 logger.debug("complete/consistent after %d iterations",
-                             iteration + 1)
+                             len(generations))
+                break
+            if len(generations) >= cfg.max_iterations:
                 break
 
             query = self.retriever.build_retrieval_query(missing)
-            passages = retrieval_function(query, cfg.top_k)
+            passages, scores = _split_retrieved(
+                retrieval_function(query, cfg.top_k))
             ranked = self.retriever.rank_retrieved_passages(
-                passages, missing, state.seen_passages)
+                passages, missing, state.seen_passages, scores)
             state.update(query, ranked, detected)
-
-            from .prompts import build_regeneration_prompt
             context = build_regeneration_prompt(
-                generated, ranked[: cfg.evidence_passages])
+                generations[-1], ranked[: cfg.evidence_passages])
+            generations.append(generation_function(context))
 
+        if reference_text:
+            target = self.detector.detect_observations(reference_text)
+        else:
+            target = expected | state.cumulative_observations
+        best = self.select_best_generation(generations, target)
         final_consistency = self.verifier.compute_consistency(generations)
         consistent = self.verifier.find_consistent_observations(generations)
         return {
             "generations": generations,
-            "final_text": generations[-1] if generations else "",
+            "final_text": generations[best],
+            "best_index": best,
             "num_iterations": len(generations),
             "consistency_score": final_consistency,
             "consistent_observations": sorted(consistent),
             "cumulative_observations": sorted(
                 state.cumulative_observations),
+            "expected_observations": sorted(expected),
             "retrieved_passages": state.retrieved_passages,
             "queries": state.queries,
         }
@@ -140,20 +203,37 @@ class IterativeRAG:
     def generate_with_verification(self, initial_findings: str,
                                    retrieval_function: RetrievalFn,
                                    generation_function: GenerationFn,
-                                   num_samples: int | None = None) -> dict:
+                                   num_samples: int | None = None,
+                                   expected_observations: set | None = None,
+                                   generation_fn_factory: Callable[
+                                       [int], GenerationFn] | None = None
+                                   ) -> dict:
         """N-sample self-consistency: run the loop N times, return the
-        sample surfacing the most observations (reference ``:277-315``)."""
+        sample surfacing the most observations (reference ``:277-315``).
+
+        For the consistency score to measure anything, the samples must
+        differ — pass ``generation_fn_factory(sample_index)`` returning
+        a *stochastic* (temperature > 0, per-sample seed) generation fn;
+        with a deterministic fn all N samples are identical and the
+        score is trivially 1.0.
+        """
         n = num_samples or self.config.num_verification_samples
         samples = [
             self.generate_with_iterative_retrieval(
-                initial_findings, retrieval_function, generation_function)
-            for _ in range(n)
+                initial_findings, retrieval_function,
+                (generation_fn_factory(i) if generation_fn_factory
+                 else generation_function),
+                expected_observations=expected_observations)
+            for i in range(n)
         ]
         texts = [s["final_text"] for s in samples]
         consistency = self.verifier.compute_consistency(texts)
         consistent = self.verifier.find_consistent_observations(texts)
-        best = max(samples, key=lambda s: len(
-            self.detector.detect_observations(s["final_text"])))
+        target = self.expected_in_vocab(expected_observations)
+        best = max(samples, key=lambda s: (
+            len(self.detector.detect_observations(s["final_text"])
+                & target),
+            len(self.detector.detect_observations(s["final_text"]))))
         return {
             "best_generation": best["final_text"],
             "all_generations": texts,

@@ -64,12 +64,88 @@ def test_observation_detector():
     text = ("There is cardiomegaly and a small pleural effusion. "
             "No pneumothorax.")
     found = det.detect_observations(text)
-    assert {"Cardiomegaly", "Pleural Effusion", "Pneumothorax"} <= found
+    assert {"Cardiomegaly", "Pleural Effusion"} <= found
+    # negated mention must NOT be detected (negation-scope handling)
+    assert "Pneumothorax" not in found
     missing = det.find_missing_observations(
         "cardiomegaly is present", text)
     assert "Pleural Effusion" in missing
     assert "Cardiomegaly" not in missing
     assert det.detect_observations("") == set()
+
+
+def test_observation_detector_negation_scopes():
+    det = ObservationDetector()
+    assert det.detect_observations("no pleural effusion") == set()
+    assert det.detect_observations(
+        "without evidence of pneumothorax or edema") == set()
+    assert det.detect_observations("negative for consolidation") == set()
+    # negation does not cross sentence boundaries
+    found = det.detect_observations(
+        "No pneumothorax. There is consolidation.")
+    assert "Consolidation" in found and "Pneumothorax" not in found
+    # "No Finding" is a vocabulary term, not a negated mention
+    assert "No Finding" in det.detect_observations(
+        "No Finding. The lungs are clear.")
+    # a negated and a positive mention of the same term -> positive wins
+    found = det.detect_observations(
+        "No pleural effusion on the left. Right pleural effusion present.")
+    assert "Pleural Effusion" in found
+    # raw reference behavior is still available
+    raw = ObservationDetector(negation_aware=False)
+    assert "Pneumothorax" in raw.detect_observations("no pneumothorax")
+
+
+def test_rag_blind_mode_iterates_with_expert_expected():
+    """Blind inference with an expert-seeded expected set must actually
+    drive targeted retrieval (the reference defect: blind mode
+    terminates after one pass, modeling_iterative_rag.py:218-232)."""
+    rag = create_iterative_rag_model(RAGConfig(max_iterations=3))
+    corpus = {
+        "Pleural Effusion": "Prior case: pleural effusion present.",
+        "Edema": "Prior case: edema in both lungs.",
+    }
+
+    def retrieval_fn(query, k):
+        # (passage, score) contract
+        return [(p, 0.9) for obs, p in corpus.items()
+                if obs.lower() in query.lower()][:k]
+
+    def generation_fn(context):
+        out = ["Cardiomegaly is present."]
+        if "pleural effusion" in context.lower():
+            out.append("There is a pleural effusion.")
+        if "edema" in context.lower():
+            out.append("Edema is present.")
+        return " ".join(out)
+
+    result = rag.generate_with_iterative_retrieval(
+        "prompt", retrieval_fn, generation_fn,
+        expected_observations={"Cardiomegaly", "Pleural Effusion",
+                               "Edema"},
+        initial_generation=generation_fn("prompt"))
+    assert result["num_iterations"] >= 2, result
+    assert result["queries"], "blind mode must fire targeted retrieval"
+    final_obs = rag.detector.detect_observations(result["final_text"])
+    assert {"Cardiomegaly", "Pleural Effusion", "Edema"} <= final_obs
+    # expected names the detector cannot find are filtered out
+    assert rag.expected_in_vocab({"Lung Lesion", "Edema"}) == {"Edema"}
+
+
+def test_rag_best_generation_selection():
+    """A regeneration that loses an observation must not replace the
+    better earlier draft."""
+    rag = create_iterative_rag_model(RAGConfig(max_iterations=3))
+    outputs = iter(["Cardiomegaly and edema.", "Cardiomegaly only.",
+                    "Cardiomegaly only."])
+
+    result = rag.generate_with_iterative_retrieval(
+        "prompt", lambda q, k: ["evidence of pleural effusion"],
+        lambda c: next(outputs),
+        expected_observations={"Cardiomegaly", "Edema",
+                               "Pleural Effusion"})
+    assert result["final_text"] == "Cardiomegaly and edema."
+    assert result["best_index"] == 0
 
 
 def test_consistency_verifier():
