@@ -228,6 +228,7 @@ class TrainConfig(ConfigBase):
     warmup_steps: int = 100
     schedule: str = "cosine"        # "cosine" | "constant"
     grad_clip_norm: float = 1.0
+    nan_guard: bool = True   # drop non-finite updates on-device
     seed: int = 0
     compute_dtype: str = "bfloat16"  # dtype of activations / matmuls
     remat: bool = False              # jax.checkpoint the encoder blocks

@@ -82,6 +82,23 @@ class ExpertTrainer:
         self.history: list[dict] = []
 
     # ------------------------------------------------------------------
+    def _place_state(self, state):
+        """Device-put the train state per the mesh: replicated for pure
+        DP, or sharded with the Megatron TP rules when the mesh has a
+        ``model`` axis > 1 (so DPxTP is a config knob, not demo-only).
+        Returns (state, state_shardings|None)."""
+        if self.mesh is None:
+            return state, None
+        from ..core.mesh import MODEL_AXIS
+        if self.mesh.shape.get(MODEL_AXIS, 1) > 1:
+            from ..parallel.sharding import state_shardings
+            shardings = state_shardings(
+                jax.eval_shape(lambda s: s, jax.device_get(state)),
+                self.mesh)
+            return jax.device_put(state, shardings), shardings
+        return replicate_state(state, self.mesh), None
+
+    # ------------------------------------------------------------------
     def fit(self, train_batches: Callable[[], Iterable[dict]],
             val_batches: Callable[[], Iterable[dict]] | None = None,
             steps_per_epoch: int = 100,
@@ -105,30 +122,44 @@ class ExpertTrainer:
             start_epoch = int(payload["epoch"]) + 1
             logger.info("resumed from step %s at epoch %d",
                         int(state.step), start_epoch)
-        if self.mesh is not None:
-            state = replicate_state(state, self.mesh)
+        state, shardings = self._place_state(state)
 
         # optional contrastive pretrain phase
         if (self.model_type == "contrastive" and cfg.pretrain_epochs > 0
                 and start_epoch == 0):
             state = self._pretrain_contrastive(state, train_batches, rng,
-                                               steps_per_epoch)
+                                               steps_per_epoch, shardings)
 
         loss_fn = loss_fn_for(self.model_type, self.config)
-        train_step = make_train_step(self.model, loss_fn, self.mesh)
-        eval_step = make_eval_step(self.model, self.mesh)
+        train_step = make_train_step(self.model, loss_fn, self.mesh,
+                                     guard=cfg.nan_guard,
+                                     state_shardings=shardings)
+        eval_step = make_eval_step(
+            self.model, self.mesh,
+            param_shardings=shardings.params if shardings else None)
         best_f1 = -1.0
 
         from ..data.pipeline import prefetch_to_device
         for epoch in range(start_epoch, cfg.num_epochs):
             losses = []
+            skipped = 0
             epoch_batches = (prefetch_to_device(train_batches(), self.mesh)
                              if self.mesh is not None else train_batches())
             for b in epoch_batches:
                 state, metrics = train_step(state, b, rng)
+                if cfg.nan_guard and float(
+                        metrics["skipped_nonfinite"]) > 0:
+                    skipped += 1
+                    logger.warning(
+                        "non-finite loss/grad at step %d: update dropped",
+                        int(jax.device_get(state.step)))
+                    continue
                 losses.append(float(metrics["loss"]))
             record = {"epoch": epoch,
-                      "train_loss": float(np.mean(losses))}
+                      "train_loss": float(np.mean(losses))
+                      if losses else float("nan")}
+            if skipped:
+                record["skipped_steps"] = skipped
             if self.resume_ckpt:
                 self.resume_ckpt.save(
                     int(jax.device_get(state.step)),
@@ -159,12 +190,14 @@ class ExpertTrainer:
 
     # ------------------------------------------------------------------
     def _pretrain_contrastive(self, state, train_batches, rng,
-                              steps_per_epoch: int = 100):
+                              steps_per_epoch: int = 100,
+                              shardings=None):
         cfg = self.config.train
         logger.info("contrastive pretrain: %d epochs",
                     cfg.pretrain_epochs)
         pre_loss = contrastive_pretrain_loss_fn(self.config.expert)
-        pre_step = make_train_step(self.model, pre_loss, self.mesh)
+        pre_step = make_train_step(self.model, pre_loss, self.mesh,
+                                   state_shardings=shardings)
         # fresh optimizer for the pretrain phase
         for epoch in range(cfg.pretrain_epochs):
             losses = []
@@ -179,8 +212,10 @@ class ExpertTrainer:
                                  "pretrain_loss": float(np.mean(losses))})
         # reset optimizer state for finetuning, keep params
         tx = make_optimizer(cfg, steps_per_epoch)
-        return TrainState.create(apply_fn=state.apply_fn,
-                                 params=state.params, tx=tx)
+        state = TrainState.create(apply_fn=state.apply_fn,
+                                  params=state.params, tx=tx)
+        state, _ = self._place_state(state)
+        return state
 
     # ------------------------------------------------------------------
     def _calibrate(self, state, eval_step, val_batches):
@@ -200,7 +235,9 @@ class ExpertTrainer:
         logger.info("calibrated temperature=%.3f", float(temp))
         state = state.replace(params=params)
         if self.mesh is not None:
-            state = replicate_state(state, self.mesh)
+            # temperature/thresholds are new leaves with no TP rule;
+            # re-place the whole state (they land replicated)
+            state, _ = self._place_state(state)
         if self.ckpt:
             self.ckpt.save(int(jax.device_get(state.step)) + 1,
                            jax.device_get(state.params),

@@ -110,12 +110,14 @@ def contrastive_pretrain_loss_fn(expert_config: ExpertConfig,
 
 
 def make_train_step(model, loss_fn: Callable, mesh: Mesh | None = None,
-                    guard: bool = False):
+                    guard: bool = False, state_shardings=None):
     """Build a jitted, donated train step.
 
     ``loss_fn(model, params, batch, rng) -> (loss, aux)``.
-    With a mesh, params/opt state are replicated and the batch is
-    sharded over ``data``.
+    With a mesh, params/opt state are replicated (or sharded per
+    ``state_shardings`` — a NamedSharding pytree matching the
+    TrainState, for tensor parallelism over the ``model`` axis) and
+    the batch is sharded over ``data``.
 
     ``guard=True`` adds on-device failure detection: if the loss or
     gradient norm is non-finite, the update is dropped (state passes
@@ -150,14 +152,16 @@ def make_train_step(model, loss_fn: Callable, mesh: Mesh | None = None,
         return jax.jit(step, donate_argnums=(0,))
     repl = NamedSharding(mesh, P())
     data_spec = NamedSharding(mesh, P(DATA_AXIS))
+    state_spec = state_shardings if state_shardings is not None else repl
     return jax.jit(
         step, donate_argnums=(0,),
-        in_shardings=(repl, data_spec, repl),
-        out_shardings=(repl, repl),
+        in_shardings=(state_spec, data_spec, repl),
+        out_shardings=(state_spec, repl),
     )
 
 
-def make_eval_step(model, mesh: Mesh | None = None):
+def make_eval_step(model, mesh: Mesh | None = None,
+                   param_shardings=None):
     def step(params, batch):
         logits = model.apply({"params": params}, batch["pixel_values"],
                              batch["input_ids"], batch["attention_mask"],
@@ -168,7 +172,8 @@ def make_eval_step(model, mesh: Mesh | None = None):
         return jax.jit(step)
     repl = NamedSharding(mesh, P())
     data_spec = NamedSharding(mesh, P(DATA_AXIS))
-    return jax.jit(step, in_shardings=(repl, data_spec),
+    param_spec = param_shardings if param_shardings is not None else repl
+    return jax.jit(step, in_shardings=(param_spec, data_spec),
                    out_shardings=data_spec)
 
 
