@@ -29,12 +29,15 @@ def main(argv=None):
         description="Import HF tower weights into radar_tpu format")
     parser.add_argument("--vision", type=str, default=None,
                         help="Local ViTModel checkpoint directory")
+    parser.add_argument("--swinv2", type=str, default=None,
+                        help="Local Swinv2Model checkpoint directory "
+                             "(the reference's actual vision backbone)")
     parser.add_argument("--text", type=str, default=None,
                         help="Local BertModel checkpoint directory")
     parser.add_argument("--output", type=str, required=True)
     args = parser.parse_args(argv)
-    if not args.vision and not args.text:
-        raise SystemExit("pass --vision and/or --text")
+    if not (args.vision or args.text or args.swinv2):
+        raise SystemExit("pass --vision, --swinv2 and/or --text")
 
     import transformers
 
@@ -51,6 +54,19 @@ def main(argv=None):
                              "depth": cfg.depth,
                              "image_size": cfg.image_size}
         logger.info("imported vision tower: %s", summary["vision"])
+
+    if args.swinv2:
+        from ..utils.hf_import import import_swinv2_tower
+        hf = transformers.Swinv2Model.from_pretrained(args.swinv2)
+        cfg, params = import_swinv2_tower(hf)
+        save_params(os.path.join(args.output, "vision"), params)
+        cfg.to_yaml(os.path.join(args.output, "vision_config.yaml"))
+        summary["vision"] = {"hidden_size": cfg.hidden_size,
+                             "depths": list(cfg.depths),
+                             "window_size": cfg.window_size,
+                             "arch": "swinv2",
+                             "image_size": cfg.image_size}
+        logger.info("imported swinv2 tower: %s", summary["vision"])
 
     if args.text:
         from ..models.bert import import_text_tower

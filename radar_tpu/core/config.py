@@ -102,11 +102,12 @@ class ConfigBase:
 
 @dataclass(frozen=True)
 class VisionConfig(ConfigBase):
-    """ViT-class vision encoder (the reference's SwinV2 role,
-    ``train_expert_models.py:555``)."""
+    """Vision encoder: plain ViT (TPU-native default) or hierarchical
+    SwinV2 (``arch="swinv2"`` — the reference's actual backbone,
+    ``train_expert_models.py:555``; HF-importable)."""
     image_size: int = 224
     patch_size: int = 16
-    hidden_size: int = 768
+    hidden_size: int = 768   # ViT width / SwinV2 embed_dim
     depth: int = 12
     num_heads: int = 12
     mlp_ratio: float = 4.0
@@ -114,6 +115,11 @@ class VisionConfig(ConfigBase):
     drop_path_rate: float = 0.0
     pool: str = "cls"  # "cls" | "mean"
     channels: int = 3
+    arch: str = "vit"  # "vit" | "swinv2"
+    # swinv2-only: per-stage depths/heads + attention window
+    depths: tuple[int, ...] = (2, 2, 6, 2)
+    stage_heads: tuple[int, ...] = ()   # () -> num_heads * 2**stage
+    window_size: int = 8
 
 
 @dataclass(frozen=True)

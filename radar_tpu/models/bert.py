@@ -75,6 +75,7 @@ def bert_config_from_hf(hf_config) -> TextConfig:
         depth=hf_config.num_hidden_layers,
         num_heads=hf_config.num_attention_heads,
         mlp_ratio=hf_config.intermediate_size / hf_config.hidden_size,
+        arch="bert",
     )
 
 

@@ -35,7 +35,7 @@ import numpy as np
 from ..core import constants
 from ..core.config import ExpertConfig, TextConfig, VisionConfig
 from .text import TextEncoder
-from .vision import VisionTransformer
+from .vision import VisionTransformer, build_vision_tower
 
 
 class _Towers(nn.Module):
@@ -46,8 +46,8 @@ class _Towers(nn.Module):
     remat: bool = False
 
     def setup(self):
-        self.vision = VisionTransformer(self.vision_config, self.dtype,
-                                        self.remat, name="vision")
+        self.vision = build_vision_tower(self.vision_config, self.dtype,
+                                         self.remat, name="vision")
         if self.text_config.arch == "bert":
             from .bert import BertTextEncoder
             self.text = BertTextEncoder(self.text_config, self.dtype,

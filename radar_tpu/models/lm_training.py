@@ -53,14 +53,16 @@ def make_lm_examples(contexts: list[str], reports: list[str],
 
 def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
                               max_length: int, seed: int = 0,
-                              regen_fraction: float = 0.3):
+                              regen_fraction: float = 0.5):
     """LM examples in the *serving* prompt formats (pipeline/prompts.py):
 
     - stage-1: ``build_prompt(context, validated_obs)`` → report, with
       validated observations taken from the ground-truth labels (what
       the expert injects at serving time);
-    - regeneration: a truncated draft + ``Retrieved Evidence`` from a
-      label-overlapping study → full report (the RAG-iteration mode).
+    - regeneration: a draft missing 1-2 observation sentences +
+      ``Retrieved Evidence`` passages (one covering the missing
+      observations, optionally one distractor — serving retrieval is
+      noisy) → the complete report (the RAG-iteration mode).
 
     ``metas``: dicts with clinical_context/report/labels.
     """
@@ -80,24 +82,30 @@ def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
                      if m["labels"][j] > 0.5]
         regen = None
         if rng.random() < regen_fraction and len(metas) > 1:
-            # regeneration mode mirroring the serving RAG iteration:
-            # a draft MISSING one observation's sentence + evidence
-            # passages that CONTAIN the missing observation -> the
-            # complete report.
             sents = [s for s in m["report"].split(". ") if s]
             droppable = [k for k, s in enumerate(sents)
                          if det.detect_observations(s)]
-            if len(sents) >= 2 and droppable:
-                k = int(rng.choice(droppable))
-                missing_obs = det.detect_observations(sents[k])
+            n_drop = min(len(droppable), 1 + int(rng.random() < 0.4))
+            if len(sents) > n_drop and droppable:
+                drop = set(int(k) for k in rng.choice(
+                    droppable, size=n_drop, replace=False))
+                missing_obs = set()
+                for k in drop:
+                    missing_obs |= det.detect_observations(sents[k])
                 draft = ". ".join(s for j, s in enumerate(sents)
-                                  if j != k)
+                                  if j not in drop)
                 cands = [j for j, other in enumerate(metas)
                          if j != i and (missing_obs
                                         & det.detect_observations(
                                             other["report"]))]
                 if cands:
                     ev = [metas[int(rng.choice(cands))]["report"]]
+                    if rng.random() < 0.5:
+                        # distractor passage: serving retrieval often
+                        # returns partially-relevant neighbours too
+                        other = int(rng.integers(len(metas)))
+                        if other != i:
+                            ev.append(metas[other]["report"])
                     regen = build_regeneration_prompt(draft, ev)
         prompts.append(regen if regen is not None
                        else build_prompt(m["clinical_context"],

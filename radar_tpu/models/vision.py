@@ -60,3 +60,14 @@ class VisionTransformer(nn.Module):
         pooled = nn.tanh(nn.Dense(cfg.hidden_size, dtype=self.dtype,
                                   name="pooler")(pooled))
         return {"last_hidden_state": hidden, "pooler_output": pooled}
+
+
+def build_vision_tower(config: VisionConfig, dtype=jnp.float32,
+                       remat: bool = False, name: str = "vision"):
+    """Vision-tower factory: plain ViT (default) or hierarchical SwinV2
+    (``config.arch == "swinv2"``, the reference's real backbone).  Both
+    return the same {last_hidden_state, pooler_output} contract."""
+    if config.arch == "swinv2":
+        from .swin import SwinV2Transformer
+        return SwinV2Transformer(config, dtype, remat, name=name)
+    return VisionTransformer(config, dtype, remat, name=name)

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from ..core.config import RetrievalConfig, TextConfig, VisionConfig
 from ..models.text import TextEncoder
-from ..models.vision import VisionTransformer
+from ..models.vision import build_vision_tower
 
 
 class CrossModalEmbedder(nn.Module):
@@ -29,9 +29,15 @@ class CrossModalEmbedder(nn.Module):
 
     def setup(self):
         dim = self.retrieval_config.embedding_dim
-        self.vision = VisionTransformer(self.vision_config, self.dtype,
-                                        name="vision")
-        self.text = TextEncoder(self.text_config, self.dtype, name="text")
+        self.vision = build_vision_tower(self.vision_config, self.dtype,
+                                         name="vision")
+        if self.text_config.arch == "bert":
+            from ..models.bert import BertTextEncoder
+            self.text = BertTextEncoder(self.text_config, self.dtype,
+                                        name="text")
+        else:
+            self.text = TextEncoder(self.text_config, self.dtype,
+                                    name="text")
         self.text_projection = nn.Dense(dim, dtype=self.dtype,
                                         name="text_proj")
         self.image_projection = nn.Dense(dim, dtype=self.dtype,

@@ -83,3 +83,123 @@ def import_vision_tower(hf_model):
     """Returns (VisionConfig, params) ready for
     ``VisionTransformer(config).apply({'params': params}, images)``."""
     return vit_config_from_hf(hf_model.config), import_vit_params(hf_model)
+
+
+# ---------------------------------------------------------------------------
+# SwinV2 (the reference's actual vision backbone,
+# ``train_expert_models.py:555`` -> swinv2-large)
+# ---------------------------------------------------------------------------
+
+
+def swinv2_config_from_hf(hf_config) -> VisionConfig:
+    return VisionConfig(
+        image_size=hf_config.image_size,
+        patch_size=hf_config.patch_size,
+        hidden_size=hf_config.embed_dim,
+        num_heads=hf_config.num_heads[0],
+        mlp_ratio=float(hf_config.mlp_ratio),
+        channels=hf_config.num_channels,
+        arch="swinv2",
+        depths=tuple(hf_config.depths),
+        stage_heads=tuple(hf_config.num_heads),
+        window_size=hf_config.window_size,
+    )
+
+
+def import_swinv2_params(hf_model) -> dict:
+    """Convert a ``transformers.Swinv2Model`` state dict to our
+    ``SwinV2Transformer`` param tree (forward-equivalent).
+
+    Name notes: HF's ``layernorm_before``/``layernorm_after`` keep
+    SwinV1 names but are *applied* post-attention / post-MLP in v2
+    (res-post-norm) — they map to our ``ln1``/``ln2`` which are named
+    by application order.
+    """
+    sd = {k: np.asarray(v.detach().cpu().numpy())
+          for k, v in hf_model.state_dict().items()}
+    cfg = hf_model.config
+
+    def dense(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T,
+                "bias": sd[f"{prefix}.bias"]}
+
+    def dense_nobias(prefix):
+        return {"kernel": sd[f"{prefix}.weight"].T}
+
+    def ln(prefix):
+        return {"scale": sd[f"{prefix}.weight"],
+                "bias": sd[f"{prefix}.bias"]}
+
+    params = {
+        "patch_embed": {
+            "kernel": sd["embeddings.patch_embeddings.projection.weight"
+                         ].transpose(2, 3, 1, 0),
+            "bias": sd["embeddings.patch_embeddings.projection.bias"],
+        },
+        "embed_norm": ln("embeddings.norm"),
+        "ln_final": ln("layernorm"),
+    }
+    for i, depth in enumerate(cfg.depths):
+        stage: dict = {}
+        for j in range(depth):
+            p = f"encoder.layers.{i}.blocks.{j}"
+            a = f"{p}.attention"
+            stage[f"block_{j}"] = {
+                "attn": {
+                    "q": dense(f"{a}.self.query"),
+                    "k": dense_nobias(f"{a}.self.key"),
+                    "v": dense(f"{a}.self.value"),
+                    "out": dense(f"{a}.output.dense"),
+                    "logit_scale": sd[f"{a}.self.logit_scale"],
+                    "cpb_fc1": dense(
+                        f"{a}.self.continuous_position_bias_mlp.0"),
+                    "cpb_fc2": dense_nobias(
+                        f"{a}.self.continuous_position_bias_mlp.2"),
+                },
+                "ln1": ln(f"{p}.layernorm_before"),
+                "ln2": ln(f"{p}.layernorm_after"),
+                "mlp_fc1": dense(f"{p}.intermediate.dense"),
+                "mlp_fc2": dense(f"{p}.output.dense"),
+            }
+        if i < len(cfg.depths) - 1:
+            d = f"encoder.layers.{i}.downsample"
+            stage["downsample"] = {
+                "reduction": dense_nobias(f"{d}.reduction"),
+                "norm": ln(f"{d}.norm"),
+            }
+        params[f"stage_{i}"] = stage
+    return params
+
+
+def import_swinv2_tower(hf_model):
+    """Returns (VisionConfig, params) ready for
+    ``SwinV2Transformer(config).apply({'params': params}, images)``."""
+    return (swinv2_config_from_hf(hf_model.config),
+            import_swinv2_params(hf_model))
+
+
+# ---------------------------------------------------------------------------
+# Retrieval-embedder warm start (the reference's BiomedCLIP role,
+# ``modeling_dense_passage_retrieval.py:210-212``: ViT vision +
+# PubMedBERT text towers behind fresh projection heads)
+# ---------------------------------------------------------------------------
+
+
+def warm_start_embedder_params(embedder_params: dict,
+                               vision_params: dict | None = None,
+                               text_params: dict | None = None) -> dict:
+    """Graft imported tower params into a ``CrossModalEmbedder`` param
+    tree, keeping the (task-specific) projection heads freshly
+    initialised — the BiomedCLIP-style warm start for retrieval.
+
+    ``vision_params``: from ``import_vit_params``/``import_swinv2_params``
+    (match ``vision_config.arch``); ``text_params``: from
+    ``models.bert.import_text_params`` (requires
+    ``text_config.arch == "bert"``).
+    """
+    out = dict(embedder_params)
+    if vision_params is not None:
+        out["vision"] = vision_params
+    if text_params is not None:
+        out["text"] = text_params
+    return out
