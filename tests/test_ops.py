@@ -42,6 +42,31 @@ def test_flash_gradients_match():
                                atol=1e-3, rtol=1e-3)
 
 
+@pytest.mark.parametrize("shape,causal", [
+    ((1, 2, 197, 64), False),   # ragged pad (exercises q-row masking)
+    ((1, 2, 256, 64), True),    # causal, aligned
+    ((1, 1, 130, 128), False),  # head dim 128, ragged
+])
+def test_flash_fused_backward_per_input_grads(shape, causal):
+    """The fused Pallas backward (dq + dkv kernels) must match the
+    reference VJP for each of q, k, v separately."""
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    k = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    v = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+    g = jnp.asarray(rng.normal(0, 1, shape), jnp.float32)
+
+    _, vjp_f = jax.vjp(
+        lambda q, k, v: flash_attention(q, k, v, causal, True), q, k, v)
+    _, vjp_r = jax.vjp(
+        lambda q, k, v: _reference(q, k, v, causal), q, k, v)
+    for got, want, name in zip(vjp_f(g), vjp_r(g), "qkv"):
+        assert np.isfinite(np.asarray(got)).all(), f"d{name} not finite"
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=1e-3,
+            err_msg=f"d{name} mismatch")
+
+
 def test_ragged_tail_masked():
     """Padded key positions (197 -> 256 internally) must not leak."""
     rng = np.random.default_rng(2)
