@@ -46,6 +46,27 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--tiny", action="store_true",
                         help="Tiny model config (CPU-friendly)")
+    parser.add_argument("--set", action="append", default=[],
+                        dest="config_overrides", metavar="KEY=VALUE",
+                        help="Dotted config override, e.g. "
+                             "--set retrieval.capacity=8192 (repeatable)")
+    parser.add_argument("--hf_tokenizer", type=str, default=None,
+                        help="Local HuggingFace tokenizer directory "
+                             "(production wordpiece vocab, e.g. "
+                             "Bio_ClinicalBERT's); default is the "
+                             "self-contained clinical word tokenizer")
+
+
+def _parse_override_value(raw: str):
+    low = raw.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    for cast in (int, float):
+        try:
+            return cast(raw)
+        except ValueError:
+            pass
+    return raw
 
 
 def load_config(args) -> RadarConfig:
@@ -68,11 +89,37 @@ def load_config(args) -> RadarConfig:
         overrides["train.pretrain_epochs"] = args.pretrain_epochs
     if getattr(args, "seed", None) is not None:
         overrides["train.seed"] = args.seed
+    for kv in getattr(args, "config_overrides", None) or []:
+        key, sep, raw = kv.partition("=")
+        if not sep:
+            raise SystemExit(f"--set expects KEY=VALUE, got {kv!r}")
+        overrides[key] = _parse_override_value(raw)
     if overrides:
         cfg = cfg.override(**overrides)
     if getattr(args, "pretrain", None) is False:
         cfg = cfg.override(**{"train.pretrain_epochs": 0})
     return cfg
+
+
+def make_tokenizer(args, cfg: RadarConfig):
+    """The CLI tokenizer: an HF wordpiece tokenizer from a local
+    directory when ``--hf_tokenizer`` is given (real-data deployments —
+    its vocab size must match ``cfg.text.vocab_size``), otherwise the
+    self-contained clinical word tokenizer."""
+    if getattr(args, "hf_tokenizer", None):
+        import transformers
+
+        from ..data.tokenizer import HFTokenizerAdapter
+        tok = HFTokenizerAdapter(transformers.AutoTokenizer.from_pretrained(
+            args.hf_tokenizer))
+        if tok.vocab_size != cfg.text.vocab_size:
+            logger.warning(
+                "hf tokenizer vocab %d != text.vocab_size %d — override "
+                "with --set text.vocab_size=%d (and decoder.vocab_size "
+                "if the decoder shares the vocabulary)",
+                tok.vocab_size, cfg.text.vocab_size, tok.vocab_size)
+        return tok
+    return Tokenizer.clinical_default(cfg.text.vocab_size)
 
 
 def make_mesh(args, batch_size: int | None = None):

@@ -18,10 +18,9 @@ import jax
 from ..core.checkpoint import CheckpointManager
 from ..core.logging import get_logger
 from ..core.training import compute_dtype
-from ..data.tokenizer import Tokenizer
 from ..eval.evaluator import ModelEvaluator
 from ..models.experts import EXPERT_REGISTRY, create_model
-from .common import (add_common_args, add_data_args,
+from .common import (add_common_args, make_tokenizer, add_data_args,
                      batch_iterator_factory, build_datasets, load_config,
                      make_mesh)
 
@@ -77,7 +76,7 @@ def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
     mesh = make_mesh(args, cfg.train.eval_batch_size)
-    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    tokenizer = make_tokenizer(args, cfg)
     datasets = build_datasets(args, cfg, tokenizer, ("test",))
     bs = cfg.train.eval_batch_size
     factory = batch_iterator_factory(datasets["test"], bs)

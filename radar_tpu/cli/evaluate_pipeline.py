@@ -23,12 +23,11 @@ import numpy as np
 
 from ..core.checkpoint import load_params
 from ..core.logging import get_logger
-from ..data.tokenizer import Tokenizer
 from ..eval.pipeline_eval import evaluate_pipeline
 from ..models.decoder import ReportDecoder
 from ..pipeline.radar import RadarPipeline
 from ..retrieval.dpr import create_dpr_model
-from .common import (add_common_args, add_data_args, build_datasets,
+from .common import (add_common_args, make_tokenizer, add_data_args, build_datasets,
                      load_config)
 from .evaluate_expert_models import load_model_params
 from .evaluate_retrieval_system import _normalized_image
@@ -67,7 +66,7 @@ def main(argv=None):
     cfg = load_config(args)
     if args.max_iterations:
         cfg = cfg.override(**{"rag.max_iterations": args.max_iterations})
-    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    tokenizer = make_tokenizer(args, cfg)
     datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
     train_ds, test_ds = datasets["train"], datasets["test"]
     if args.leakage_free:

@@ -19,9 +19,8 @@ import numpy as np
 
 from ..core.checkpoint import load_params
 from ..core.logging import get_logger
-from ..data.tokenizer import Tokenizer
 from .common import add_common_args, add_data_args, build_datasets, \
-    load_config
+    load_config, make_tokenizer
 
 logger = get_logger("radar_tpu.eval_retrieval")
 
@@ -66,7 +65,7 @@ def _maybe_restore(path: str, params):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
-    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    tokenizer = make_tokenizer(args, cfg)
     datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
     train_ds, test_ds = datasets["train"], datasets["test"]
     contributions = (["2.1", "2.2", "2.3"]

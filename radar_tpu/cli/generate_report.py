@@ -25,11 +25,10 @@ import numpy as np
 
 from ..core.checkpoint import load_params
 from ..core.logging import get_logger
-from ..data.tokenizer import Tokenizer
 from ..models.decoder import ReportDecoder
 from ..pipeline.radar import RadarPipeline
 from ..retrieval.dpr import create_dpr_model
-from .common import (add_common_args, add_data_args, build_datasets,
+from .common import (add_common_args, make_tokenizer, add_data_args, build_datasets,
                      load_config)
 from .evaluate_expert_models import load_model_params
 
@@ -59,7 +58,7 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
-    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    tokenizer = make_tokenizer(args, cfg)
     datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
     train_ds, test_ds = datasets["train"], datasets["test"]
 

@@ -18,8 +18,7 @@ import time
 
 from ..core.logging import MetricWriter, get_logger
 from ..core.trainer import ExpertTrainer
-from ..data.tokenizer import Tokenizer
-from .common import (add_common_args, add_data_args,
+from .common import (add_common_args, make_tokenizer, add_data_args,
                      batch_iterator_factory, build_datasets, load_config,
                      make_mesh, steps_per_epoch)
 
@@ -43,6 +42,10 @@ def build_parser() -> argparse.ArgumentParser:
                         default="./checkpoints/expert_models/")
     parser.add_argument("--resume", action="store_true",
                         help="Resume from the latest full train state")
+    parser.add_argument("--init_towers", type=str, default=None,
+                        help="Warm-start the vision/text towers from an "
+                             "import_weights output directory (adopts "
+                             "its tower configs; heads stay fresh)")
     parser.add_argument("--profile_dir", type=str, default=None,
                         help="Capture a jax.profiler trace of one epoch")
     add_common_args(parser)
@@ -54,9 +57,17 @@ def main(argv=None) -> dict:
     cfg = load_config(args)
     if args.model_type != "contrastive" or not args.pretrain:
         cfg = cfg.override(**{"train.pretrain_epochs": 0})
+    param_graft = None
+    if args.init_towers:
+        from ..utils.hf_import import adopt_tower_configs, \
+            graft_tower_params
+        cfg = adopt_tower_configs(cfg, args.init_towers)
+
+        def param_graft(params):  # noqa: F811
+            return graft_tower_params(params, args.init_towers)
 
     mesh = make_mesh(args, cfg.train.batch_size)
-    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    tokenizer = make_tokenizer(args, cfg)
     datasets = build_datasets(args, cfg, tokenizer, ("train", "val"))
 
     ckpt_dir = os.path.join(args.output_dir, args.model_type)
@@ -73,7 +84,8 @@ def main(argv=None) -> dict:
                                    seed=cfg.train.seed),
             batch_iterator_factory(datasets["val"], bs),
             steps_per_epoch=steps_per_epoch(datasets["train"], bs),
-            metric_writer=writer, resume=args.resume)
+            metric_writer=writer, resume=args.resume,
+            param_graft=param_graft)
     elapsed = time.time() - t0
 
     best = trainer.ckpt.best_info() if trainer.ckpt else None

@@ -21,8 +21,7 @@ import time
 
 from ..core.checkpoint import save_params
 from ..core.logging import get_logger
-from ..data.tokenizer import Tokenizer
-from .common import (add_common_args, add_data_args,
+from .common import (add_common_args, make_tokenizer, add_data_args,
                      batch_iterator_factory, build_datasets, load_config)
 
 logger = get_logger("radar_tpu.train_retrieval")
@@ -38,6 +37,11 @@ def build_parser():
     parser.add_argument("--learning_rate", type=float, default=None)
     parser.add_argument("--output_dir", type=str,
                         default="./checkpoints/retrieval_system/")
+    parser.add_argument("--init_towers", type=str, default=None,
+                        help="Warm-start the embedder's vision/text "
+                             "towers from an import_weights output "
+                             "directory (the BiomedCLIP role; adopts "
+                             "the imported tower configs)")
     add_data_args(parser)
     add_common_args(parser)
     return parser
@@ -46,7 +50,10 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
-    tokenizer = Tokenizer.clinical_default(cfg.text.vocab_size)
+    if args.init_towers:
+        from ..utils.hf_import import adopt_tower_configs
+        cfg = adopt_tower_configs(cfg, args.init_towers)
+    tokenizer = make_tokenizer(args, cfg)
     datasets = build_datasets(args, cfg, tokenizer, ("train",))
     train_ds = datasets["train"]
     bs = cfg.train.batch_size
@@ -63,7 +70,19 @@ def main(argv=None):
                                           train_embedder)
         t0 = time.time()
         factory = batch_iterator_factory(train_ds, bs, shuffle=True)
-        module, params, history = train_embedder(cfg, factory)
+        graft = None
+        if args.init_towers:
+            from ..core.checkpoint import load_params
+            from ..utils.hf_import import warm_start_embedder_params
+            vdir = os.path.join(args.init_towers, "vision")
+            tdir = os.path.join(args.init_towers, "text")
+            vparams = load_params(vdir) if os.path.isdir(vdir) else None
+            tparams = load_params(tdir) if os.path.isdir(tdir) else None
+
+            def graft(p):  # noqa: F811
+                return warm_start_embedder_params(p, vparams, tparams)
+        module, params, history = train_embedder(cfg, factory,
+                                                 param_graft=graft)
         acc = retrieval_alignment(module, params, factory)
         save_params(os.path.join(args.output_dir, "embedder"),
                     {"params": params})

@@ -103,16 +103,28 @@ class ExpertTrainer:
             val_batches: Callable[[], Iterable[dict]] | None = None,
             steps_per_epoch: int = 100,
             metric_writer: MetricWriter | None = None,
-            resume: bool = False) -> TrainState:
+            resume: bool = False,
+            param_graft: Callable[[dict], dict] | None = None
+            ) -> TrainState:
         """Train; with ``resume=True``, restore the latest full train
         state (params + optimizer + step + epoch) and continue — the
-        capability the reference lacks (save-only, SURVEY.md §5)."""
+        capability the reference lacks (save-only, SURVEY.md §5).
+
+        ``param_graft`` maps the freshly initialised params to a
+        warm-started tree (e.g. imported HF backbones via
+        ``utils.hf_import.graft_tower_params``); skipped on resume.
+        """
         cfg = self.config.train
         rng = jax.random.key(cfg.seed)
         sample = next(iter(train_batches()))
 
         state = create_train_state(self.model, rng, sample, cfg,
                                    steps_per_epoch)
+        if param_graft is not None and not (
+                resume and self.resume_ckpt
+                and self.resume_ckpt.latest_step() is not None):
+            state = state.replace(
+                params=param_graft(jax.device_get(state.params)))
         start_epoch = 0
         if resume and self.resume_ckpt and \
                 self.resume_ckpt.latest_step() is not None:

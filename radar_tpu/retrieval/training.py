@@ -29,12 +29,16 @@ def train_embedder(config: RadarConfig,
                    batches: Callable[[], Iterable[dict]],
                    num_epochs: int | None = None,
                    rng: jax.Array | None = None,
-                   mesh=None) -> tuple[CrossModalEmbedder, dict, list]:
+                   mesh=None,
+                   param_graft=None
+                   ) -> tuple[CrossModalEmbedder, dict, list]:
     """Train the cross-modal embedder with image<->text InfoNCE.
 
     ``batches()`` yields dicts with pixel_values/input_ids/
     attention_mask (/labels, used for hard-negative mining when
-    present). Returns (module, params, history).
+    present). ``param_graft`` warm-starts the fresh params (the
+    BiomedCLIP role — ``utils.hf_import.warm_start_embedder_params``).
+    Returns (module, params, history).
     """
     rng = rng if rng is not None else jax.random.key(config.train.seed)
     module = CrossModalEmbedder(config.vision, config.text,
@@ -43,6 +47,8 @@ def train_embedder(config: RadarConfig,
     params = module.init(rng, sample["pixel_values"],
                          sample["input_ids"],
                          sample["attention_mask"])["params"]
+    if param_graft is not None:
+        params = param_graft(jax.device_get(params))
     epochs = num_epochs or config.train.num_epochs
     tx = make_optimizer(config.train)
     opt_state = tx.init(params)

@@ -203,3 +203,57 @@ def warm_start_embedder_params(embedder_params: dict,
     if text_params is not None:
         out["text"] = text_params
     return out
+
+
+# ---------------------------------------------------------------------------
+# Expert warm start from an ``import_weights`` output directory: adopt
+# the imported tower configs and graft the imported params into a fresh
+# expert param tree (the reference initialises its experts directly
+# from HF pretrained backbones, ``train_expert_models.py:555-569``).
+# ---------------------------------------------------------------------------
+
+
+def adopt_tower_configs(cfg, import_dir: str):
+    """Return ``cfg`` with the ``vision``/``text`` sections replaced by
+    the ``*_config.yaml`` files an ``import_weights`` run wrote, so the
+    model is built at exactly the imported towers' geometry."""
+    import os
+
+    from ..core.config import TextConfig
+    data = cfg.to_dict()
+    vp = os.path.join(import_dir, "vision_config.yaml")
+    tp = os.path.join(import_dir, "text_config.yaml")
+    if os.path.exists(vp):
+        data["vision"] = VisionConfig.from_yaml(vp).to_dict()
+    if os.path.exists(tp):
+        data["text"] = TextConfig.from_yaml(tp).to_dict()
+    return type(cfg).from_dict(data)
+
+
+def graft_tower_params(params: dict, import_dir: str) -> dict:
+    """Replace ``params['towers']['vision'|'text']`` with the imported
+    trees from an ``import_weights`` output directory; heads stay
+    freshly initialised.  Raises on tree-structure mismatch (build the
+    model with ``adopt_tower_configs`` first)."""
+    import os
+
+    import jax
+
+    from ..core.checkpoint import load_params
+    out = dict(params)
+    towers = dict(out["towers"])
+    for name in ("vision", "text"):
+        d = os.path.join(import_dir, name)
+        if not os.path.isdir(d):
+            continue
+        loaded = load_params(d)
+        want = jax.tree_util.tree_structure(towers[name])
+        got = jax.tree_util.tree_structure(loaded)
+        if want != got:
+            raise ValueError(
+                f"imported {name} tower does not match the model "
+                f"geometry (did you build the config with "
+                f"adopt_tower_configs?): {got} vs {want}")
+        towers[name] = loaded
+    out["towers"] = towers
+    return out

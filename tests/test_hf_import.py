@@ -265,3 +265,62 @@ def test_import_weights_cli(tmp_path):
                      jnp.zeros((1, 16), jnp.int32),
                      jnp.ones((1, 16), jnp.int32))
     assert o["pooler_output"].shape == (1, 64)
+
+
+def test_expert_warm_start_cli(tmp_path):
+    """--init_towers: train_expert_models adopts imported tower configs
+    and grafts imported HF weights into the expert before training."""
+    import jax
+    import numpy as np
+
+    from radar_tpu.cli.import_weights import main as import_main
+    from radar_tpu.core.checkpoint import load_params
+    from radar_tpu.core.config import tiny_config
+    from radar_tpu.utils.hf_import import (adopt_tower_configs,
+                                           graft_tower_params)
+
+    torch.manual_seed(0)
+    vit = transformers.ViTModel(transformers.ViTConfig(
+        image_size=64, patch_size=16, hidden_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        intermediate_size=128))
+    vit.save_pretrained(tmp_path / "vit")
+    bert = transformers.BertModel(transformers.BertConfig(
+        vocab_size=512, hidden_size=64, num_hidden_layers=2,
+        num_attention_heads=4, intermediate_size=128,
+        max_position_embeddings=64))
+    bert.save_pretrained(tmp_path / "bert")
+    out = tmp_path / "imported"
+    import_main(["--vision", str(tmp_path / "vit"),
+                 "--text", str(tmp_path / "bert"),
+                 "--output", str(out)])
+
+    cfg = adopt_tower_configs(tiny_config(), str(out))
+    assert cfg.vision.hidden_size == 64 and cfg.vision.depth == 2
+    assert cfg.text.arch == "bert" and cfg.text.vocab_size == 512
+
+    from radar_tpu.models.experts import create_model
+    model = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    pv = np.zeros((2, 64, 64, 3), np.float32)
+    ids = np.zeros((2, 16), np.int32)
+    mask = np.ones((2, 16), np.int32)
+    params = model.init(jax.random.key(0), pv, ids, mask)["params"]
+    grafted = graft_tower_params(jax.device_get(params), str(out))
+    want = load_params(str(out / "vision"))
+    got = grafted["towers"]["vision"]
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree_util.tree_leaves(want)[0]),
+        np.asarray(jax.tree_util.tree_leaves(got)[0]))
+    # grafted params still forward
+    logits = model.apply({"params": grafted}, pv, ids, mask,
+                         deterministic=True)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+    # geometry mismatch is caught loudly
+    from radar_tpu.core.config import tiny_config as tc
+    bad = create_model("baseline", tc().vision, tc().text, tc().expert)
+    bad_params = bad.init(jax.random.key(0),
+                          np.zeros((1, 64, 64, 3), np.float32),
+                          ids[:1], mask[:1])["params"]
+    with pytest.raises(ValueError, match="geometry"):
+        graft_tower_params(jax.device_get(bad_params), str(out))
