@@ -23,7 +23,8 @@ import numpy as np
 
 from ..core.checkpoint import load_params
 from ..core.logging import get_logger
-from ..eval.pipeline_eval import evaluate_pipeline
+from ..eval.pipeline_eval import (evaluate_pipeline,
+                                  evaluate_pipeline_verification)
 from ..models.decoder import ReportDecoder
 from ..pipeline.radar import RadarPipeline
 from ..retrieval.dpr import create_dpr_model
@@ -49,6 +50,12 @@ def build_parser():
     parser.add_argument("--max_iterations", type=int, default=None,
                         help="Override rag.max_iterations (1 = "
                              "single-pass ablation)")
+    parser.add_argument("--verify_samples", type=int, default=0,
+                        help="N > 0: evaluate the N-sample stochastic "
+                             "self-consistency serving path instead of "
+                             "the deterministic loop")
+    parser.add_argument("--temperature", type=float, default=0.7,
+                        help="Sampling temperature for --verify_samples")
     parser.add_argument("--leakage_free", action="store_true",
                         help="Synthetic eval contexts use a generic "
                              "indication instead of the ground-truth "
@@ -133,8 +140,13 @@ def main(argv=None):
             "labels": meta["labels"],
         })
 
-    results = evaluate_pipeline(pipe, samples,
-                                use_reference=args.use_reference)
+    if args.verify_samples > 0:
+        results = evaluate_pipeline_verification(
+            pipe, samples, num_samples=args.verify_samples,
+            temperature=args.temperature)
+    else:
+        results = evaluate_pipeline(pipe, samples,
+                                    use_reference=args.use_reference)
     os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
                 exist_ok=True)
     with open(args.output_path, "w") as f:

@@ -11,19 +11,23 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-TRAIN="--synthetic --tiny --synthetic_size 1024 --context_leak_fraction 0.5"
+# Relay note: per-step RPC latency (~3 s) dominates tiny-config TPU
+# steps, so throughput is set by step COUNT — large batches, few steps.
+TRAIN="--synthetic --tiny --synthetic_size 1024 --context_leak_fraction 0.5 \
+  --batch_size 64 --set train.eval_batch_size=256"
 
 for m in baseline uncertainty gnn contrastive; do
   extra=""
   [ "$m" = contrastive ] && extra="--pretrain --pretrain_epochs 2"
   echo "=== train expert: $m"
   python -m radar_tpu.cli.train_expert_models --model_type "$m" \
-    $TRAIN --epochs 4 $extra
+    $TRAIN --epochs 6 $extra
 done
 
 echo "=== evaluate experts (1024 held-out studies)"
 python -m radar_tpu.cli.evaluate_expert_models --test_all \
   --synthetic --tiny --synthetic_size 4096 \
+  --set train.eval_batch_size=256 \
   --output_path results/expert_model_comparison.json
 
 echo "=== train retrieval system (embedder + fusion + decoder LM)"
@@ -53,6 +57,8 @@ python -m radar_tpu.cli.evaluate_pipeline $PIPE --max_iterations 1 \
 echo "=== pipeline eval: leakage-free contexts"
 python -m radar_tpu.cli.evaluate_pipeline $PIPE --leakage_free \
   --output_path results/pipeline_evaluation_leakfree.json
+
+bash scripts/regen_results_extra.sh
 
 echo "=== done; results/:"
 ls -la results/
