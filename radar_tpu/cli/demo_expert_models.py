@@ -50,6 +50,10 @@ def test_variant(kind: str, cfg, batch) -> dict:
                          rngs={"dropout": jax.random.key(1)})
         if kind == "gnn":
             loss, _ = L.hierarchical_loss(lg, batch["labels"], cfg.expert)
+        elif kind == "multitask":
+            from ..models.multitask import multitask_loss_fn
+            loss, _ = multitask_loss_fn(cfg.expert)(
+                model, p, batch, jax.random.key(1))
         else:
             loss = L.bce_loss(lg, batch["labels"])
         return loss

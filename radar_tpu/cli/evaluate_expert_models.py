@@ -84,7 +84,17 @@ def main(argv=None):
 
     evaluator = ModelEvaluator(factory, mesh)
     if args.test_all:
-        types = sorted(EXPERT_REGISTRY)
+        # compare only variants that actually have a trained checkpoint
+        # (fresh-init rows would poison the comparison table)
+        types = [t for t in sorted(EXPERT_REGISTRY)
+                 if os.path.isdir(os.path.join(args.checkpoint_dir, t))]
+        skipped = sorted(set(EXPERT_REGISTRY) - set(types))
+        if skipped:
+            logger.info("--test_all skipping untrained variants: %s",
+                        ", ".join(skipped))
+        if not types:
+            raise SystemExit(f"no trained checkpoints under "
+                             f"{args.checkpoint_dir}")
     elif args.model_type:
         types = [args.model_type]
     else:

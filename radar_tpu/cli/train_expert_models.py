@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="Train RADAR expert models (TPU-native)")
     parser.add_argument("--model_type", type=str, default="uncertainty",
                         choices=["baseline", "uncertainty", "gnn",
-                                 "contrastive"],
+                                 "contrastive", "multitask"],
                         help="Expert model variant to train")
     add_data_args(parser)
     parser.add_argument("--epochs", type=int, default=None)

@@ -34,6 +34,9 @@ logger = get_logger("radar_tpu.trainer")
 def loss_fn_for(model_type: str, config: RadarConfig) -> Callable:
     if model_type == "gnn":
         return gnn_loss_fn(config.expert)
+    if model_type == "multitask":
+        from ..models.multitask import multitask_loss_fn
+        return multitask_loss_fn(config.expert)
     return baseline_loss_fn  # baseline / uncertainty / contrastive-finetune
 
 

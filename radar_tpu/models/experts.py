@@ -339,6 +339,9 @@ EXPERT_REGISTRY = {
     "uncertainty": UncertaintyExpert,
     "gnn": GNNExpert,
     "contrastive": ContrastiveExpert,
+    # contribution 3.2 (reference README.md:104-110, planned/unshipped);
+    # lazy dotted path — models.multitask imports from this module
+    "multitask": "radar_tpu.models.multitask:MultiTaskExpert",
 }
 
 
@@ -351,6 +354,10 @@ def create_model(model_type: str, vision_config: VisionConfig,
         raise ValueError(f"unknown model_type {model_type!r}; "
                          f"choose from {sorted(EXPERT_REGISTRY)}")
     cls = EXPERT_REGISTRY[model_type]
+    if isinstance(cls, str):
+        import importlib
+        module, name = cls.rsplit(":", 1)
+        cls = getattr(importlib.import_module(module), name)
     return cls(vision_config, text_config, expert_config,
                dtype=dtype, remat=remat)
 

@@ -1,0 +1,221 @@
+"""Contribution 3.2 — multi-task learning with auxiliary tasks.
+
+The reference PLANS this but never ships it (``README.md:104-110``:
+severity classification, urgency prediction, anatomical region
+localization, uncertainty-weighted multi-task loss; status "PLANNED").
+This is the real implementation, TPU-first:
+
+- ``MultiTaskExpert``: shared vision+text trunk -> observation head
+  (the standard 14-logit contract, so eval/serving paths work
+  unchanged) + severity head (Normal/Mild/Moderate/Severe) + urgency
+  head (Routine/Urgent/Critical) + study-level anatomical-region head.
+- ``multitask_loss_fn``: homoscedastic uncertainty weighting (Kendall
+  et al. 2018): total = sum_i exp(-s_i) * L_i + s_i / 2 with learned
+  per-task log-variances ``s_i`` — the "uncertainty-weighted
+  multi-task loss" the reference names.
+- ``derive_auxiliary_labels``: deterministic on-device derivation of
+  the auxiliary targets from the 14-observation label vector.  On
+  real MIMIC data these would come from independent annotations; the
+  derivation is the synthetic stand-in and is used only when the batch
+  does not already carry ``severity``/``urgency``/``regions`` keys.
+
+Region note: the reference asks for "anatomical region localization"
+with image-level labels only, so the honest target is study-level
+region involvement (multi-hot over 6 coarse regions), not spatial
+localization — there is no box/mask supervision anywhere in the
+reference's data layer.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import ExpertConfig, TextConfig, VisionConfig
+from .experts import ClassifierHead, _Towers
+from . import losses as L
+
+SEVERITY_LEVELS = ("Normal", "Mild", "Moderate", "Severe")
+URGENCY_LEVELS = ("Routine", "Urgent", "Critical")
+REGION_NAMES = ("cardiac", "mediastinal", "lung_parenchyma",
+                "pleural", "osseous", "devices")
+NUM_REGIONS = len(REGION_NAMES)
+
+# Observations whose presence makes a study Critical (immediate review):
+# Pneumothorax (8), Pneumonia (6), Edema (4).
+CRITICAL_OBSERVATION_IDS = (8, 6, 4)
+_NO_FINDING, _SUPPORT_DEVICES = 13, 12
+
+# [14, 6] observation -> coarse anatomical region(s)
+_REGION_ROWS = {
+    0: ("cardiac", "mediastinal"),   # Enlarged Cardiomediastinum
+    1: ("cardiac",),                 # Cardiomegaly
+    2: ("lung_parenchyma",),         # Lung Opacity
+    3: ("lung_parenchyma",),         # Lung Lesion
+    4: ("lung_parenchyma",),         # Edema
+    5: ("lung_parenchyma",),         # Consolidation
+    6: ("lung_parenchyma",),         # Pneumonia
+    7: ("lung_parenchyma",),         # Atelectasis
+    8: ("pleural",),                 # Pneumothorax
+    9: ("pleural",),                 # Pleural Effusion
+    10: ("pleural",),                # Pleural Other
+    11: ("osseous",),                # Fracture
+    12: ("devices",),                # Support Devices
+    13: (),                          # No Finding
+}
+
+
+def observation_region_matrix() -> np.ndarray:
+    """[14, NUM_REGIONS] multi-hot float32 map."""
+    m = np.zeros((14, NUM_REGIONS), np.float32)
+    for obs, regions in _REGION_ROWS.items():
+        for r in regions:
+            m[obs, REGION_NAMES.index(r)] = 1.0
+    return m
+
+
+def derive_auxiliary_labels(labels: jnp.ndarray) -> dict:
+    """Derive severity / urgency / region targets from [B, 14] labels.
+
+    Pure jnp (runs on device inside the loss): severity buckets the
+    finding count (0/1/2/3+ -> Normal/Mild/Moderate/Severe), urgency is
+    Critical when a critical observation is positive, Urgent when any
+    finding is, else Routine; regions are the union of the positive
+    observations' anatomical regions.
+    """
+    lab = jnp.asarray(labels, jnp.float32)
+    findings = lab.at[:, _NO_FINDING].set(0.0).at[:, _SUPPORT_DEVICES].set(0.0)
+    count = jnp.sum(findings, axis=-1)
+    severity = jnp.clip(count, 0, 3).astype(jnp.int32)
+    critical = jnp.max(
+        lab[:, jnp.asarray(CRITICAL_OBSERVATION_IDS)], axis=-1)
+    urgency = jnp.where(critical > 0.5, 2,
+                        jnp.where(count > 0.5, 1, 0)).astype(jnp.int32)
+    regions = jnp.clip(
+        lab @ jnp.asarray(observation_region_matrix()), 0.0, 1.0)
+    return {"severity": severity, "urgency": urgency, "regions": regions}
+
+
+class MultiTaskExpert(nn.Module):
+    """Baseline trunk + auxiliary task heads (reference contribution
+    3.2, planned/unshipped).  ``__call__`` returns the 14 observation
+    logits — the same contract as every other expert, so evaluation,
+    checkpointing, and the serving pipeline treat it uniformly;
+    ``multi_task_forward`` returns all heads for training/eval of the
+    auxiliary tasks."""
+    vision_config: VisionConfig
+    text_config: TextConfig
+    expert_config: ExpertConfig
+    dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        cfg = self.expert_config
+        self.towers = _Towers(self.vision_config, self.text_config,
+                              self.dtype, self.remat, name="towers")
+        self.trunk = nn.Dense(cfg.hidden_size, dtype=self.dtype,
+                              name="trunk")
+        self.classifier = ClassifierHead(
+            cfg.hidden_size, cfg.num_observations, cfg.dropout_rate,
+            self.dtype, name="classifier")
+        self.severity_head = nn.Dense(len(SEVERITY_LEVELS),
+                                      dtype=self.dtype,
+                                      name="severity_head")
+        self.urgency_head = nn.Dense(len(URGENCY_LEVELS),
+                                     dtype=self.dtype, name="urgency_head")
+        self.region_head = nn.Dense(NUM_REGIONS, dtype=self.dtype,
+                                    name="region_head")
+        # Kendall-style per-task log-variances: observations, severity,
+        # urgency, regions.
+        self.task_log_vars = self.param(
+            "task_log_vars", nn.initializers.zeros, (4,))
+
+    def _features(self, pixel_values, input_ids, attention_mask, *,
+                  deterministic: bool = True):
+        v, t = self.towers(pixel_values, input_ids, attention_mask,
+                           deterministic=deterministic)
+        joint = jnp.concatenate([v, t], axis=-1)
+        return nn.gelu(self.trunk(joint))
+
+    def multi_task_forward(self, pixel_values, input_ids, attention_mask,
+                           *, deterministic: bool = True) -> dict:
+        h = self._features(pixel_values, input_ids, attention_mask,
+                           deterministic=deterministic)
+        return {
+            "logits": self.classifier(h, deterministic=deterministic),
+            "severity_logits": self.severity_head(h).astype(jnp.float32),
+            "urgency_logits": self.urgency_head(h).astype(jnp.float32),
+            "region_logits": self.region_head(h).astype(jnp.float32),
+            "task_log_vars": self.task_log_vars,
+        }
+
+    def __call__(self, pixel_values, input_ids, attention_mask, *,
+                 deterministic: bool = True):
+        out = self.multi_task_forward(pixel_values, input_ids,
+                                      attention_mask,
+                                      deterministic=deterministic)
+        return out["logits"]
+
+
+def multitask_loss_fn(expert_config: ExpertConfig):
+    """Uncertainty-weighted multi-task objective.
+
+    Each task loss is scaled by ``exp(-s_i)`` with its learned
+    log-variance ``s_i`` plus the ``s_i / 2`` regulariser (Kendall et
+    al. 2018, eq. 10) — tasks the model finds noisy are automatically
+    down-weighted instead of hand-tuning four loss weights.
+    """
+    def fn(model, params, batch, rng):
+        out = model.apply({"params": params}, batch["pixel_values"],
+                          batch["input_ids"], batch["attention_mask"],
+                          deterministic=False, rngs={"dropout": rng},
+                          method=model.multi_task_forward)
+        aux = {k: batch[k] for k in ("severity", "urgency", "regions")
+               if k in batch}
+        if len(aux) < 3:
+            aux = {**derive_auxiliary_labels(batch["labels"]), **aux}
+
+        l_obs = L.bce_loss(out["logits"], batch["labels"])
+        l_sev = jnp.mean(optax_softmax_ce(out["severity_logits"],
+                                          aux["severity"],
+                                          len(SEVERITY_LEVELS)))
+        l_urg = jnp.mean(optax_softmax_ce(out["urgency_logits"],
+                                          aux["urgency"],
+                                          len(URGENCY_LEVELS)))
+        l_reg = L.bce_loss(out["region_logits"], aux["regions"])
+
+        s = out["task_log_vars"]
+        task_losses = jnp.stack([l_obs, l_sev, l_urg, l_reg])
+        loss = jnp.sum(jnp.exp(-s) * task_losses + 0.5 * s)
+        return loss, {"loss": loss, "logits": out["logits"],
+                      "obs_loss": l_obs, "severity_loss": l_sev,
+                      "urgency_loss": l_urg, "region_loss": l_reg}
+    return fn
+
+
+def optax_softmax_ce(logits, int_labels, num_classes):
+    one_hot = jax.nn.one_hot(int_labels, num_classes)
+    return -jnp.sum(one_hot * jax.nn.log_softmax(logits, axis=-1), -1)
+
+
+def multitask_metrics(out: dict, batch: dict) -> dict:
+    """Host-side auxiliary-task accuracies for evaluation reports."""
+    aux = {k: batch[k] for k in ("severity", "urgency", "regions")
+           if k in batch}
+    if len(aux) < 3:
+        aux = {**jax.device_get(
+            derive_auxiliary_labels(jnp.asarray(batch["labels"]))), **aux}
+    sev_pred = np.argmax(np.asarray(out["severity_logits"]), -1)
+    urg_pred = np.argmax(np.asarray(out["urgency_logits"]), -1)
+    reg_pred = (np.asarray(out["region_logits"]) > 0.0)
+    reg_true = np.asarray(aux["regions"]) > 0.5
+    denom = max(reg_true.size, 1)
+    return {
+        "severity_accuracy": float(np.mean(
+            sev_pred == np.asarray(aux["severity"]))),
+        "urgency_accuracy": float(np.mean(
+            urg_pred == np.asarray(aux["urgency"]))),
+        "region_accuracy": float(np.sum(reg_pred == reg_true) / denom),
+    }

@@ -11,10 +11,11 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
-# Relay note: per-step RPC latency (~3 s) dominates tiny-config TPU
-# steps, so throughput is set by step COUNT — large batches, few steps.
+# Relay note: steady-state tiny-config steps are ~90 ms at bs=8 (the
+# slow part is the first compile, not the per-step RPC); keep the
+# small batch — quality tracks step count — and speed up only eval.
 TRAIN="--synthetic --tiny --synthetic_size 1024 --context_leak_fraction 0.5 \
-  --batch_size 64 --set train.eval_batch_size=256"
+  --set train.eval_batch_size=256"
 
 for m in baseline uncertainty gnn contrastive; do
   extra=""
