@@ -184,3 +184,76 @@ class SyntheticCXRDataset:
                 "attention_mask": self.attention_mask[idx],
                 "labels": self.labels[idx],
             }
+
+
+class SyntheticLongitudinalDataset:
+    """Paired prior/current studies for temporal modeling (contribution
+    3.1).  The prior labels are sampled like a normal study; the
+    current labels are a per-observation Markov transition (improve:
+    positive resolves, worsen: new finding appears), so ground-truth
+    progression classes derive exactly and the image pairs carry a
+    learnable change signal (same blob patterns, independent
+    acquisition noise)."""
+
+    def __init__(self, size: int, image_size: int = 64, seed: int = 0,
+                 improve_rate: float = 0.3, worsen_rate: float = 0.06,
+                 noise: float = 0.35):
+        self.size = size
+        self.image_size = image_size
+        self.noise = noise
+        rng = np.random.default_rng(seed)
+        self.prior_labels = sample_labels(rng, size)
+        cur = self.prior_labels.copy()
+        improve = rng.random(cur.shape) < improve_rate
+        worsen = rng.random(cur.shape) < worsen_rate
+        cur = np.where((cur > 0.5) & improve, 0.0, cur)
+        cur = np.where((cur < 0.5) & worsen, 1.0, cur)
+        # keep "No Finding" (idx 13) consistent with the pathologies
+        no_finding = cur[:, :13].sum(axis=1) == 0
+        cur[:, 13] = no_finding.astype(np.float32)
+        self.labels = cur.astype(np.float32)
+        self.patterns = _blob_patterns(image_size,
+                                       constants.NUM_OBSERVATIONS)
+        self._seed = seed + 7
+
+    def __len__(self) -> int:
+        return self.size
+
+    def _image(self, labels_row: np.ndarray, idx: int,
+               salt: int) -> np.ndarray:
+        rng = np.random.default_rng(self._seed + idx * 2 + salt)
+        img = rng.normal(0.5, self.noise,
+                         (self.image_size, self.image_size)).astype(
+            np.float32)
+        sig = (labels_row @ self.patterns.reshape(
+            constants.NUM_OBSERVATIONS, -1)).reshape(
+            self.image_size, self.image_size)
+        return np.repeat(np.clip(img + sig, 0.0, 2.0)[..., None], 3, -1)
+
+    def __getitem__(self, idx: int) -> dict:
+        return {
+            "pixel_values": self._image(self.labels[idx], idx, 0),
+            "prior_pixel_values": self._image(self.prior_labels[idx],
+                                              idx, 1),
+            "labels": self.labels[idx],
+            "prior_labels": self.prior_labels[idx],
+        }
+
+    def batches(self, batch_size: int, *, shuffle: bool = False,
+                seed: int = 0, drop_remainder: bool = True):
+        order = np.arange(self.size)
+        if shuffle:
+            np.random.default_rng(seed).shuffle(order)
+        end = (self.size // batch_size * batch_size
+               if drop_remainder else self.size)
+        for start in range(0, end, batch_size):
+            idx = order[start:start + batch_size]
+            yield {
+                "pixel_values": np.stack(
+                    [self._image(self.labels[i], i, 0) for i in idx]),
+                "prior_pixel_values": np.stack(
+                    [self._image(self.prior_labels[i], i, 1)
+                     for i in idx]),
+                "labels": self.labels[idx],
+                "prior_labels": self.prior_labels[idx],
+            }

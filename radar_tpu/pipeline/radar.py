@@ -36,7 +36,8 @@ class RadarPipeline:
                  dpr: DensePassageRetrieval | None = None,
                  decoder: ReportDecoder | None = None,
                  decoder_params=None,
-                 fusion_module=None, fusion_params=None):
+                 fusion_module=None, fusion_params=None,
+                 temporal_model=None, temporal_params=None):
         self.config = config
         self.tokenizer = tokenizer
         self.expert_model = expert_model
@@ -46,6 +47,8 @@ class RadarPipeline:
         self.decoder_params = decoder_params
         self.fusion_module = fusion_module
         self.fusion_params = fusion_params
+        self.temporal_model = temporal_model
+        self.temporal_params = temporal_params
         self.rag = IterativeRAG(config.rag)
         self._expert_fwd = None
         if expert_model is not None:
@@ -57,6 +60,28 @@ class RadarPipeline:
             self._fusion_fwd = jax.jit(
                 lambda p, pf, sf, pm, sm: fusion_module.apply(
                     {"params": p}, pf, sf, pm, sm))
+        self._temporal_fwd = None
+        if temporal_model is not None:
+            self._temporal_fwd = jax.jit(
+                lambda p, c, pr: temporal_model.apply(
+                    {"params": p}, c, pr)["progression_logits"])
+
+    # ------------------------------------------------------------------
+    def compare_with_prior(self, image: np.ndarray,
+                           prior_image: np.ndarray) -> dict:
+        """Temporal stage (contribution 3.1): per-observation
+        progression classes + the structured comparison statement the
+        decoder prompt is conditioned on."""
+        if self._temporal_fwd is None:
+            raise ValueError("pipeline built without a temporal model")
+        from ..models.temporal import comparison_statements
+        logits = np.asarray(self._temporal_fwd(
+            self.temporal_params,
+            jnp.asarray(image, jnp.float32)[None],
+            jnp.asarray(prior_image, jnp.float32)[None]))[0]
+        progression = np.argmax(logits, -1)            # [14]
+        return {"progression": progression,
+                "statements": comparison_statements(progression)}
 
     # ------------------------------------------------------------------
     def predict_observations(self, image: np.ndarray,
@@ -302,8 +327,20 @@ class RadarPipeline:
         return results
 
     def generate_report(self, image: np.ndarray, clinical_context: str,
-                        reference_text: str | None = None) -> dict:
-        """End-to-end report generation for one study."""
+                        reference_text: str | None = None,
+                        prior_image: np.ndarray | None = None) -> dict:
+        """End-to-end report generation for one study.
+
+        With ``prior_image`` (and a temporal model), the comparison
+        statements from the progression classifier are appended to the
+        clinical context so the decoder writes a comparison-aware
+        report (contribution 3.1 serving hook).
+        """
+        temporal_out = None
+        if prior_image is not None and self._temporal_fwd is not None:
+            temporal_out = self.compare_with_prior(image, prior_image)
+            clinical_context = (f"{clinical_context} Comparison: "
+                                f"{temporal_out['statements']}")
         # stage 1+2: expert observations
         expert_out = None
         q_obs = None
@@ -346,7 +383,7 @@ class RadarPipeline:
             expected_observations=expected,
             initial_generation=preliminary)
 
-        return {
+        result = {
             "preliminary_findings": preliminary,
             "report": rag_out["final_text"],
             "iterations": rag_out["num_iterations"],
@@ -357,6 +394,10 @@ class RadarPipeline:
             "conflicting_passages": conflict_log,
             "rag": rag_out,
         }
+        if temporal_out is not None:
+            result["comparison"] = temporal_out["statements"]
+            result["progression"] = temporal_out["progression"].tolist()
+        return result
 
     def generate_report_with_verification(
             self, image: np.ndarray, clinical_context: str,
