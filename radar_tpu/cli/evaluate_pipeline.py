@@ -50,6 +50,10 @@ def build_parser():
     parser.add_argument("--max_iterations", type=int, default=None,
                         help="Override rag.max_iterations (1 = "
                              "single-pass ablation)")
+    parser.add_argument("--grounding", action="store_true",
+                        help="Run the contribution-3.3 hallucination "
+                             "pass (entity verification + constrained "
+                             "regeneration) during evaluation")
     parser.add_argument("--verify_samples", type=int, default=0,
                         help="N > 0: evaluate the N-sample stochastic "
                              "self-consistency serving path instead of "
@@ -146,7 +150,8 @@ def main(argv=None):
             temperature=args.temperature)
     else:
         results = evaluate_pipeline(pipe, samples,
-                                    use_reference=args.use_reference)
+                                    use_reference=args.use_reference,
+                                    verify_grounding=args.grounding)
     os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
                 exist_ok=True)
     with open(args.output_path, "w") as f:

@@ -37,24 +37,29 @@ def observations_to_multihot(names: set[str]) -> np.ndarray:
 
 
 def evaluate_pipeline(pipe, samples: list[dict],
-                      use_reference: bool = False) -> dict:
+                      use_reference: bool = False,
+                      verify_grounding: bool = False) -> dict:
     """Run ``pipe.generate_report`` over samples and score the output.
 
     ``samples``: dicts with pixel_values/clinical_context/report/labels.
     ``use_reference``: feed the reference report into the RAG loop for
     missing-observation targeting (evaluation mode); off = blind
     inference.
+    ``verify_grounding``: run the contribution-3.3 hallucination pass
+    (entity verification + constrained regeneration) on every report.
     """
     det = ObservationDetector()
     bleu1, bleu4, rouges = [], [], []
     preds, labels = [], []
     iters, cons, lats = [], [], []
+    factual, halluc_found = [], 0
     for s in samples:
         t0 = time.perf_counter()
         out = pipe.generate_report(
             np.asarray(s["pixel_values"], np.float32),
             s["clinical_context"],
-            reference_text=s["report"] if use_reference else None)
+            reference_text=s["report"] if use_reference else None,
+            verify_grounding=verify_grounding)
         lats.append(time.perf_counter() - t0)
         report = out["report"]
         ref = s["report"]
@@ -66,12 +71,34 @@ def evaluate_pipeline(pipe, samples: list[dict],
         labels.append(np.asarray(s["labels"], np.float32))
         iters.append(out["iterations"])
         cons.append(out["consistency_score"])
+        if out.get("grounding"):
+            g = out["grounding"]
+            factual.append(
+                g.get("post_constrained", g)["factual_consistency"])
+            halluc_found += bool(g["hallucinated"])
 
     import jax.numpy as jnp
     f1 = M.f1_scores(jnp.asarray(np.stack(preds)),
                      jnp.asarray(np.stack(labels)))
+    # hallucination rate against GROUND TRUTH: fraction of mentioned
+    # pathologies whose true label is negative (1 - mention precision)
+    p = np.stack(preds)[:, :12]    # pathology columns only
+    t = np.stack(labels)[:, :12]
+    mentioned = p.sum()
+    halluc_rate = (float(((p > 0.5) & (t < 0.5)).sum()) / float(mentioned)
+                   if mentioned else 0.0)
     lats_sorted = sorted(lats)
+    extras = {}
+    if verify_grounding:
+        extras = {
+            "factual_consistency": float(np.mean(factual))
+            if factual else 1.0,
+            "reports_with_hallucinations": halluc_found,
+            "grounding": True,
+        }
     return {
+        "hallucination_rate": halluc_rate,
+        **extras,
         "bleu_1": float(np.mean(bleu1)),
         "bleu_4": float(np.mean(bleu4)),
         "rouge_l": float(np.mean(rouges)),

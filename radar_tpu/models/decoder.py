@@ -247,11 +247,18 @@ def lm_loss(logits, targets, mask):
 def generate(model: ReportDecoder, params, input_ids, attention_mask,
              prefix_embedding=None, rng=None, *,
              max_new_tokens: int = 100, temperature: float = 0.0,
-             eos_id: int = 2):
+             eos_id: int = 2, banned_mask=None):
     """Jitted autoregressive generation.
 
     Prompts are right-padded; each row decodes from its own length.
     Returns [B, max_new_tokens] generated ids (PAD after EOS).
+
+    ``banned_mask``: optional [vocab] bool array — True entries can
+    never be emitted (their logits are forced to -inf before every
+    sampling step).  This is the constrained-decoding hook for
+    hallucination prevention (contribution 3.3): ban the token ids of
+    observation names the expert stage rejects, and the decoder cannot
+    write them.
     """
     b = input_ids.shape[0]
     lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)  # [B]
@@ -279,6 +286,8 @@ def generate(model: ReportDecoder, params, input_ids, attention_mask,
         rng = jax.random.key(0)
 
     def sample(logits, key):
+        if banned_mask is not None:
+            logits = jnp.where(banned_mask[None, :], -1e30, logits)
         if temperature <= 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(key, logits / temperature,

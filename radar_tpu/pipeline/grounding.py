@@ -1,0 +1,163 @@
+"""Contribution 3.3 — cross-modal hallucination detection.
+
+The reference PLANS this and ships nothing (``README.md:113-120``:
+"Visual grounding module for generated findings; factual consistency
+scoring; constrained decoding to prevent hallucinations; entity-level
+verification against image" — status "PLANNED").  Real implementation:
+
+- ``GroundingVerifier.verify``: entity-level verification of every
+  observation mentioned in a generated report against the expert
+  stage's image-conditioned probabilities — each entity gets a
+  verdict (``supported`` / ``uncertain`` / ``hallucinated``) and the
+  report a factual-consistency score.
+- ``banned_token_mask``: the constrained-decoding hook — a [vocab]
+  mask of the hallucinated observations' name tokens, enforced inside
+  the jitted decode loop (``models/decoder.py:generate(banned_mask=)``)
+  so the regenerated report *cannot* emit them.
+- ``filter_hallucinated_sentences``: host-side fallback scrub that
+  drops sentences asserting an unsupported observation (used on the
+  final text so even prompt-copied mentions are removed).
+
+The visual grounding signal is the expert model itself: its
+probabilities are computed from the image (+ clinical context), so
+"verify the entity against the image" = "check the expert's
+image-conditioned probability for that entity" — the same gating RADAR
+uses to filter retrieval knowledge, now pointed at the decoder's own
+output.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from ..core.constants import OBSERVATION_NAMES
+from ..core.logging import get_logger
+from .observations import ObservationDetector
+
+logger = get_logger("radar_tpu.grounding")
+
+SUPPORTED, UNCERTAIN, HALLUCINATED = "supported", "uncertain", "hallucinated"
+
+# RAG detector vocabulary -> canonical CheXpert-14 name (the detector
+# also knows synonyms like "Pulmonary Edema"; map them back before
+# indexing into the expert's probability vector)
+_ALIAS = {"Pulmonary Edema": "Edema", "Rib Fracture": "Fracture"}
+
+
+class GroundingVerifier:
+    def __init__(self, support_threshold: float = 0.4,
+                 hallucination_threshold: float = 0.15,
+                 detector: ObservationDetector | None = None):
+        """``support_threshold``: expert probability above which a
+        mentioned entity counts as image-supported;
+        ``hallucination_threshold``: probability below which it counts
+        as hallucinated (between the two = uncertain, left alone)."""
+        self.support_threshold = support_threshold
+        self.hallucination_threshold = hallucination_threshold
+        self.detector = detector or ObservationDetector()
+
+    # ------------------------------------------------------------------
+    def _prob_for(self, name: str, probs: np.ndarray) -> float | None:
+        canon = _ALIAS.get(name, name)
+        if canon in OBSERVATION_NAMES:
+            return float(probs[OBSERVATION_NAMES.index(canon)])
+        return None
+
+    def verify(self, report: str, expert_probs: np.ndarray) -> dict:
+        """Entity-level verification of a generated report.
+
+        Returns entities (name/probability/verdict), the hallucinated
+        subset, and the factual-consistency score (supported mentions /
+        gradeable mentions; 1.0 when nothing is mentioned).
+        """
+        probs = np.asarray(expert_probs).reshape(-1)
+        detected = self.detector.detect_observations(report)
+        entities, hallucinated = [], []
+        supported = gradeable = 0
+        for name in sorted(detected):
+            if name == "No Finding":
+                continue
+            p = self._prob_for(name, probs)
+            if p is None:
+                continue
+            gradeable += 1
+            if p >= self.support_threshold:
+                verdict = SUPPORTED
+                supported += 1
+            elif p <= self.hallucination_threshold:
+                verdict = HALLUCINATED
+                hallucinated.append(name)
+            else:
+                verdict = UNCERTAIN
+                supported += 1  # benefit of the doubt: not penalised
+            entities.append({"entity": name, "probability": p,
+                             "verdict": verdict})
+        return {
+            "entities": entities,
+            "hallucinated": hallucinated,
+            "factual_consistency": (supported / gradeable
+                                    if gradeable else 1.0),
+            "num_entities": gradeable,
+        }
+
+    # ------------------------------------------------------------------
+    def banned_token_mask(self, tokenizer, hallucinated: list[str],
+                          vocab_size: int | None = None
+                          ) -> np.ndarray | None:
+        """[vocab] bool mask of the hallucinated observations' name
+        tokens (and their detector synonyms) for constrained decoding.
+
+        Common clinical words shared with benign phrasing ("lung",
+        "pleural") are NOT banned — only tokens whose word appears
+        exclusively in hallucinated observation names among the
+        CheXpert-14 vocabulary, so the constraint removes the entity
+        without crippling the report's language.
+        """
+        if not hallucinated:
+            return None
+        ban_words = self._name_words(hallucinated)
+        keep_words = self._name_words(
+            [n for n in OBSERVATION_NAMES if n not in hallucinated])
+        ban_words -= keep_words
+        if not ban_words:
+            return None
+        # size to the decoder's logits vocab (may exceed the
+        # tokenizer's when the decoder was configured wider)
+        mask = np.zeros((vocab_size or tokenizer.vocab_size,), bool)
+        hit = False
+        for word in ban_words:
+            ids, m = tokenizer.encode(word, max_length=4)
+            for tid, valid in zip(np.asarray(ids), np.asarray(m)):
+                if valid and int(tid) > 3:       # skip special tokens
+                    mask[int(tid)] = True
+                    hit = True
+        return mask if hit else None
+
+    def _name_words(self, names: list[str]) -> set[str]:
+        words = set()
+        for name in names:
+            for syn in ([name] + [a for a, c in _ALIAS.items()
+                                  if c == name]):
+                words.update(w.lower() for w in re.findall(r"[a-z]+",
+                                                           syn.lower()))
+        return words
+
+    # ------------------------------------------------------------------
+    def filter_hallucinated_sentences(self, report: str,
+                                      hallucinated: list[str]) -> str:
+        """Drop sentences that positively assert a hallucinated
+        observation (negated mentions are fine — "no pneumothorax" is
+        not a hallucination)."""
+        if not hallucinated:
+            return report
+        sentences = re.split(r"(?<=[.!?])\s+", report)
+        kept = []
+        for s in sentences:
+            mentioned = self.detector.detect_observations(s)
+            if mentioned & set(hallucinated):
+                continue
+            kept.append(s)
+        out = " ".join(kept).strip()
+        return out if out else "No acute cardiopulmonary process."

@@ -128,13 +128,16 @@ class RadarPipeline:
 
     # ------------------------------------------------------------------
     def _make_generation_fn(self, image_embedding,
-                            temperature: float = 0.0, seed: int = 0):
+                            temperature: float = 0.0, seed: int = 0,
+                            banned_mask=None):
         """Decoder closure; ``temperature > 0`` gives stochastic
         sampling (seeded, advanced per call) for self-consistency
-        verification — greedy otherwise."""
+        verification — greedy otherwise.  ``banned_mask`` ([vocab]
+        bool) enables constrained decoding (contribution 3.3)."""
         max_len = self.config.decoder.max_length
         max_prompt = max_len - self.config.rag.max_new_tokens - 1
         counter = [0]
+        banned = None if banned_mask is None else jnp.asarray(banned_mask)
 
         def generation_fn(context: str) -> str:
             ids, mask = self.tokenizer.encode(context, max_prompt)
@@ -145,7 +148,7 @@ class RadarPipeline:
                 jnp.asarray(ids)[None], jnp.asarray(mask)[None],
                 prefix_embedding=image_embedding, rng=rng,
                 max_new_tokens=self.config.rag.max_new_tokens,
-                temperature=temperature)
+                temperature=temperature, banned_mask=banned)
             return self.tokenizer.decode(np.asarray(tokens)[0])
 
         return generation_fn
@@ -328,13 +331,21 @@ class RadarPipeline:
 
     def generate_report(self, image: np.ndarray, clinical_context: str,
                         reference_text: str | None = None,
-                        prior_image: np.ndarray | None = None) -> dict:
+                        prior_image: np.ndarray | None = None,
+                        verify_grounding: bool = False) -> dict:
         """End-to-end report generation for one study.
 
         With ``prior_image`` (and a temporal model), the comparison
         statements from the progression classifier are appended to the
         clinical context so the decoder writes a comparison-aware
         report (contribution 3.1 serving hook).
+
+        With ``verify_grounding`` (and an expert model), every
+        observation the final report mentions is verified entity-level
+        against the expert's image-conditioned probabilities; if any
+        are hallucinated, the report is regenerated with their name
+        tokens banned inside the decode loop and residual mentions
+        scrubbed (contribution 3.3).
         """
         temporal_out = None
         if prior_image is not None and self._temporal_fwd is not None:
@@ -383,9 +394,28 @@ class RadarPipeline:
             expected_observations=expected,
             initial_generation=preliminary)
 
+        grounding = None
+        final_text = rag_out["final_text"]
+        if verify_grounding and expert_out is not None:
+            from .grounding import GroundingVerifier
+            verifier = GroundingVerifier()
+            grounding = verifier.verify(final_text, expert_out["probs"])
+            if grounding["hallucinated"]:
+                banned = verifier.banned_token_mask(
+                    self.tokenizer, grounding["hallucinated"],
+                    vocab_size=self.config.decoder.vocab_size)
+                constrained = self._make_generation_fn(
+                    image_embedding, banned_mask=banned)
+                regen = verifier.filter_hallucinated_sentences(
+                    constrained(pf_context), grounding["hallucinated"])
+                grounding["unconstrained_report"] = final_text
+                grounding["post_constrained"] = verifier.verify(
+                    regen, expert_out["probs"])
+                final_text = regen
+
         result = {
             "preliminary_findings": preliminary,
-            "report": rag_out["final_text"],
+            "report": final_text,
             "iterations": rag_out["num_iterations"],
             "consistency_score": rag_out["consistency_score"],
             "expert_observations": (expert_out or {}).get(
@@ -397,6 +427,8 @@ class RadarPipeline:
         if temporal_out is not None:
             result["comparison"] = temporal_out["statements"]
             result["progression"] = temporal_out["progression"].tolist()
+        if grounding is not None:
+            result["grounding"] = grounding
         return result
 
     def generate_report_with_verification(

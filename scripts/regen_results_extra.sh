@@ -19,6 +19,11 @@ echo "=== retrieval index throughput (64k rows, b256 queries)"
 python -m radar_tpu.cli.bench_retrieval --capacity 65536 \
   --query_batch 256 --output results/retrieval_throughput.json
 
+echo "=== contribution 3.3: grounding/hallucination ablation"
+python -m radar_tpu.cli.evaluate_pipeline $PIPE --num_samples 128 \
+  --grounding \
+  --output_path results/pipeline_evaluation_grounded.json
+
 echo "=== contribution 3.2: multi-task expert (train + comparison row)"
 python -m radar_tpu.cli.train_expert_models --model_type multitask \
   --synthetic --tiny --synthetic_size 1024 --context_leak_fraction 0.5 \

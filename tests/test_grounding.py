@@ -1,0 +1,129 @@
+"""Contribution 3.3 (hallucination detection) tests: entity-level
+verification, factual-consistency scoring, constrained decoding
+through the jitted decode loop, sentence scrubbing, and the pipeline
+serving hook."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from radar_tpu.core.constants import OBSERVATION_NAMES
+from radar_tpu.pipeline.grounding import (GroundingVerifier, HALLUCINATED,
+                                          SUPPORTED)
+
+
+def _probs(**kw):
+    p = np.full(14, 0.02, np.float32)
+    for name, v in kw.items():
+        p[OBSERVATION_NAMES.index(name.replace("_", " ").title())] = v
+    return p
+
+
+def test_entity_verification():
+    v = GroundingVerifier()
+    probs = _probs(cardiomegaly=0.9, pneumothorax=0.01)
+    out = v.verify("Cardiomegaly. There is a large pneumothorax.", probs)
+    verdicts = {e["entity"]: e["verdict"] for e in out["entities"]}
+    assert verdicts["Cardiomegaly"] == SUPPORTED
+    assert verdicts["Pneumothorax"] == HALLUCINATED
+    assert out["hallucinated"] == ["Pneumothorax"]
+    assert out["factual_consistency"] == 0.5
+    # negated mentions are not hallucinations (detector skips them)
+    out2 = v.verify("Cardiomegaly. No pneumothorax.", probs)
+    assert out2["hallucinated"] == []
+    assert out2["factual_consistency"] == 1.0
+
+
+def test_sentence_scrub():
+    v = GroundingVerifier()
+    text = ("Cardiomegaly is present. There is a moderate pneumothorax. "
+            "No pleural effusion.")
+    out = v.filter_hallucinated_sentences(text, ["Pneumothorax"])
+    assert "pneumothorax" not in out.split("No")[0].lower()
+    assert "Cardiomegaly" in out
+    assert "No pleural effusion." in out
+    # scrubbing everything falls back to a safe normal statement
+    assert v.filter_hallucinated_sentences(
+        "Pneumothorax.", ["Pneumothorax"]) != ""
+
+
+def test_banned_token_mask_selective(tokenizer):
+    v = GroundingVerifier()
+    mask = v.banned_token_mask(tokenizer, ["Pneumothorax"])
+    assert mask is not None and mask.any()
+    ids, m = tokenizer.encode("pneumothorax", max_length=4)
+    banned_ids = [int(i) for i, valid in zip(ids, m) if valid]
+    assert all(mask[i] for i in banned_ids if i > 3)
+    # shared clinical words from OTHER observation names stay allowed
+    ids2, m2 = tokenizer.encode("pleural effusion", max_length=4)
+    for i, valid in zip(ids2, m2):
+        if valid and int(i) > 3:
+            assert not mask[int(i)]
+
+
+def test_constrained_decode_cannot_emit_banned(cfg, tokenizer):
+    """generate(banned_mask=...) must make the banned ids unreachable."""
+    from radar_tpu.models.decoder import ReportDecoder, generate
+    dec = ReportDecoder(cfg.decoder)
+    ids, mask = tokenizer.encode("Findings:", 16)
+    ids, mask = jnp.asarray(ids)[None], jnp.asarray(mask)[None]
+    params = dec.init(jax.random.key(0), ids, mask,
+                      jnp.zeros((1, cfg.decoder.prefix_dim)))["params"]
+    banned = np.zeros((cfg.decoder.vocab_size,), bool)
+    free = np.asarray(generate(dec, params, ids, mask,
+                               max_new_tokens=12))[0]
+    emitted = [t for t in free if t > 3]
+    assert emitted, "untrained decoder should emit something"
+    banned[emitted] = True
+    constrained = np.asarray(generate(dec, params, ids, mask,
+                                      max_new_tokens=12,
+                                      banned_mask=jnp.asarray(banned)))[0]
+    assert not (set(constrained.tolist()) & set(np.where(banned)[0])), \
+        "banned ids were emitted"
+
+
+def test_pipeline_grounding_hook(cfg, tokenizer):
+    """A pipeline whose decoder hallucinates gets a corrected report."""
+    from radar_tpu.pipeline.radar import RadarPipeline
+
+    class _FakeExpert:
+        pass
+
+    class _SpyPipe(RadarPipeline):
+        def __init__(self, cfg, tok, probs):
+            super().__init__(cfg, tok)
+            self._probs = probs
+            self.constrained_calls = []
+
+        def predict_observations(self, image, context, **kw):
+            confident = {OBSERVATION_NAMES[i]: float(p)
+                         for i, p in enumerate(self._probs) if p > 0.5}
+            return {"probs": self._probs, "uncertainty": None,
+                    "confident_observations": confident}
+
+        def _make_generation_fn(self, image_embedding, temperature=0.0,
+                                seed=0, banned_mask=None):
+            def fn(context):
+                if banned_mask is not None:
+                    self.constrained_calls.append(context)
+                    return "Cardiomegaly is present."
+                return ("Cardiomegaly is present. There is a large "
+                        "pneumothorax.")
+            return fn
+
+    probs = _probs(cardiomegaly=0.9, pneumothorax=0.01)
+    pipe = _SpyPipe(cfg, tokenizer, probs)
+    pipe._expert_fwd = lambda *a: None   # enables the expert stage
+    pipe.expert_params = {}
+    out = pipe.generate_report(np.zeros((8, 8, 3), np.float32),
+                               "Indication: dyspnea",
+                               verify_grounding=True)
+    g = out["grounding"]
+    assert g["hallucinated"] == ["Pneumothorax"]
+    assert "pneumothorax" not in out["report"].lower()
+    assert g["post_constrained"]["factual_consistency"] == 1.0
+    assert pipe.constrained_calls, "constrained regeneration did not run"
+    # without grounding the hallucination stays
+    out2 = pipe.generate_report(np.zeros((8, 8, 3), np.float32),
+                                "Indication: dyspnea")
+    assert "pneumothorax" in out2["report"].lower()
