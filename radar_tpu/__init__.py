@@ -26,6 +26,11 @@ _EXPORTS = {
     "SyntheticCXRDataset": "radar_tpu.data.synthetic",
     "ExpertModelDataset": "radar_tpu.data.dataset",
     "ExpertTrainer": "radar_tpu.core.trainer",
+    # contributions 3.1-3.3 (planned-but-unshipped in the reference)
+    "TemporalComparator": "radar_tpu.models.temporal",
+    "MultiTaskExpert": "radar_tpu.models.multitask",
+    "GroundingVerifier": "radar_tpu.pipeline.grounding",
+    "SyntheticLongitudinalDataset": "radar_tpu.data.synthetic",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

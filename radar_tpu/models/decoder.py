@@ -287,7 +287,9 @@ def generate(model: ReportDecoder, params, input_ids, attention_mask,
 
     def sample(logits, key):
         if banned_mask is not None:
-            logits = jnp.where(banned_mask[None, :], -1e30, logits)
+            ban = (banned_mask if banned_mask.ndim == 2   # per-row [B, V]
+                   else banned_mask[None, :])             # shared [V]
+            logits = jnp.where(ban, -1e30, logits)
         if temperature <= 0.0:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return jax.random.categorical(key, logits / temperature,

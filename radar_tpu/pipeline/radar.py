@@ -207,8 +207,11 @@ class RadarPipeline:
         return retrieval_fn
 
     # ------------------------------------------------------------------
-    def _batch_generate(self, contexts: list[str], image_embeddings):
-        """One batched decoder call over ragged prompt strings."""
+    def _batch_generate(self, contexts: list[str], image_embeddings,
+                        banned_mask=None):
+        """One batched decoder call over ragged prompt strings.
+        ``banned_mask`` ([B, vocab] bool) applies per-row constrained
+        decoding (contribution 3.3)."""
         max_len = self.config.decoder.max_length
         max_prompt = max_len - self.config.rag.max_new_tokens - 1
         ids, mask = self.tokenizer.encode_batch(contexts, max_prompt)
@@ -216,14 +219,17 @@ class RadarPipeline:
             self.decoder, self.decoder_params, jnp.asarray(ids),
             jnp.asarray(mask), prefix_embedding=image_embeddings,
             max_new_tokens=self.config.rag.max_new_tokens,
-            temperature=0.0)
+            temperature=0.0,
+            banned_mask=(None if banned_mask is None
+                         else jnp.asarray(banned_mask)))
         tokens = np.asarray(tokens)
         return [self.tokenizer.decode(tokens[i])
                 for i in range(tokens.shape[0])]
 
     def generate_reports_batch(self, images: list[np.ndarray],
                                clinical_contexts: list[str],
-                               reference_texts: list[str] | None = None
+                               reference_texts: list[str] | None = None,
+                               verify_grounding: bool = False
                                ) -> list[dict]:
         """Batched serving path: the expert forward, image embedding and
         every RAG-iteration decode run as single batched XLA programs
@@ -310,22 +316,58 @@ class RadarPipeline:
                 if not done[i]:
                     generations[i].append(outs[i])
 
-        results = []
+        best_idx = []
         for i in range(n):
             if refs[i]:
                 target = self.rag.detector.detect_observations(refs[i])
             else:
                 target = expected[i] | cumulative[i]
-            best = self.rag.select_best_generation(generations[i], target)
+            best_idx.append(self.rag.select_best_generation(
+                generations[i], target))
+        final = [generations[i][best_idx[i]] for i in range(n)]
+
+        # contribution 3.3 (batched): entity verification; rows with
+        # hallucinations share ONE constrained batched regeneration
+        # with per-row banned-token masks
+        grounding: list[dict | None] = [None] * n
+        if verify_grounding and self._expert_fwd is not None:
+            from .grounding import GroundingVerifier
+            verifier = GroundingVerifier()
+            vocab = self.config.decoder.vocab_size
+            masks = np.zeros((n, vocab), bool)
+            flagged = []
+            for i in range(n):
+                grounding[i] = verifier.verify(final[i], probs[i])
+                if grounding[i]["hallucinated"]:
+                    m = verifier.banned_token_mask(
+                        self.tokenizer, grounding[i]["hallucinated"],
+                        vocab_size=vocab)
+                    if m is not None:
+                        masks[i] = m
+                    flagged.append(i)
+            if flagged:
+                regen = self._batch_generate(contexts, image_embeddings,
+                                             banned_mask=masks)
+                for i in flagged:
+                    fixed = verifier.filter_hallucinated_sentences(
+                        regen[i], grounding[i]["hallucinated"])
+                    grounding[i]["unconstrained_report"] = final[i]
+                    grounding[i]["post_constrained"] = verifier.verify(
+                        fixed, probs[i])
+                    final[i] = fixed
+
+        results = []
+        for i in range(n):
             results.append({
                 "preliminary_findings": preliminary[i],
-                "report": generations[i][best],
-                "best_index": best,
+                "report": final[i],
+                "best_index": best_idx[i],
                 "iterations": len(generations[i]),
                 "consistency_score":
                     self.rag.verifier.compute_consistency(generations[i]),
                 "expert_observations": expert_obs[i],
                 "retrieved_passages": retrieved[i],
+                **({"grounding": grounding[i]} if grounding[i] else {}),
             })
         return results
 

@@ -127,3 +127,46 @@ def test_pipeline_grounding_hook(cfg, tokenizer):
     out2 = pipe.generate_report(np.zeros((8, 8, 3), np.float32),
                                 "Indication: dyspnea")
     assert "pneumothorax" in out2["report"].lower()
+
+
+def test_batch_grounding_matches_single(cfg, tokenizer):
+    """The batched serving path runs the same grounding pass with
+    per-row banned masks; clean rows are untouched."""
+    from radar_tpu.pipeline.radar import RadarPipeline
+
+    class _SpyBatchPipe(RadarPipeline):
+        def __init__(self, cfg, tok, probs_rows):
+            super().__init__(cfg, tok)
+            self._probs_rows = probs_rows
+            self.banned_calls = []
+            self.expert_params = {}
+            self._expert_fwd = lambda p, pv, ids, m: jnp.asarray(
+                np.log(self._probs_rows / (1 - self._probs_rows)))
+
+        def _batch_generate(self, contexts, image_embeddings,
+                            banned_mask=None):
+            if banned_mask is not None:
+                self.banned_calls.append(np.asarray(banned_mask))
+                return ["Cardiomegaly is present."] * len(contexts)
+            return ["Cardiomegaly is present. There is a large "
+                    "pneumothorax.",
+                    "Cardiomegaly is present."][: len(contexts)]
+
+    probs_rows = np.stack([
+        _probs(cardiomegaly=0.9, pneumothorax=0.01),
+        _probs(cardiomegaly=0.9),
+    ]).astype(np.float32)
+    probs_rows = np.clip(probs_rows, 1e-4, 1 - 1e-4)
+    pipe = _SpyBatchPipe(cfg, tokenizer, probs_rows)
+    imgs = [np.zeros((8, 8, 3), np.float32)] * 2
+    outs = pipe.generate_reports_batch(imgs, ["Ind: a", "Ind: b"],
+                                       verify_grounding=True)
+    assert outs[0]["grounding"]["hallucinated"] == ["Pneumothorax"]
+    assert "pneumothorax" not in outs[0]["report"].lower()
+    # clean row: verified but untouched
+    assert outs[1]["grounding"]["hallucinated"] == []
+    assert "unconstrained_report" not in outs[1]["grounding"]
+    # one constrained batched call, row-0 mask non-empty, row-1 empty
+    assert len(pipe.banned_calls) == 1
+    m = pipe.banned_calls[0]
+    assert m.shape[0] == 2 and m[0].any() and not m[1].any()
