@@ -116,6 +116,7 @@ class VisionConfig(ConfigBase):
     pool: str = "cls"  # "cls" | "mean"
     channels: int = 3
     arch: str = "vit"  # "vit" | "swinv2"
+    quant: str = "none"  # "none" | "int8" (W8A8 serving, ops/quant.py)
     # swinv2-only: per-stage depths/heads + attention window
     depths: tuple[int, ...] = (2, 2, 6, 2)
     stage_heads: tuple[int, ...] = ()   # () -> num_heads * 2**stage
@@ -134,6 +135,7 @@ class TextConfig(ConfigBase):
     mlp_ratio: float = 4.0
     dropout_rate: float = 0.0
     arch: str = "preln"  # "preln" (TPU-native) | "bert" (HF-importable)
+    quant: str = "none"  # "none" | "int8" (W8A8 serving, ops/quant.py)
 
 
 @dataclass(frozen=True)

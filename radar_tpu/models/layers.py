@@ -18,19 +18,33 @@ from ..ops.attention import dot_product_attention
 Dtype = jnp.dtype
 
 
+def _dg(quant: bool):
+    """Dense ``dot_general`` for the requested precision: the W8A8
+    dynamic-quant kernel (serving; 2x MXU rate on v5e) or the default
+    float path.  Param trees are identical either way."""
+    if quant:
+        from ..ops.quant import int8_dot_general
+        return int8_dot_general
+    return None
+
+
 class Mlp(nn.Module):
     hidden_dim: int
     out_dim: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(x)
+        dg = _dg(self.quant)
+        x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1",
+                     dot_general=dg)(x)
         # exact (erf) GELU for numerical parity with imported HF weights
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
-        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2")(x)
+        x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2",
+                     dot_general=dg)(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
 
@@ -41,6 +55,7 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     causal: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None, *, deterministic: bool = True):
@@ -48,9 +63,11 @@ class MultiHeadAttention(nn.Module):
         e = x.shape[-1]
         assert e % self.num_heads == 0, "hidden not divisible by heads"
         d = e // self.num_heads
+        dg = _dg(self.quant)
 
         def heads(name, inp):
-            y = nn.Dense(e, dtype=self.dtype, name=name)(inp)
+            y = nn.Dense(e, dtype=self.dtype, name=name,
+                         dot_general=dg)(inp)
             return y.reshape(*y.shape[:-1], self.num_heads, d).transpose(
                 0, 2, 1, 3)
 
@@ -61,7 +78,8 @@ class MultiHeadAttention(nn.Module):
             mask = mask[:, None, None, :].astype(bool)
         out = dot_product_attention(q, k, v, mask=mask, causal=self.causal)
         out = out.transpose(0, 2, 1, 3).reshape(*x.shape[:-1], e)
-        out = nn.Dense(e, dtype=self.dtype, name="out")(out)
+        out = nn.Dense(e, dtype=self.dtype, name="out",
+                       dot_general=dg)(out)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
         return out
 
@@ -71,18 +89,21 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
         e = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(self.num_heads, self.dropout_rate,
-                               self.dtype, name="attn")(
+                               self.dtype, quant=self.quant,
+                               name="attn")(
             h, mask=mask, deterministic=deterministic)
         x = x + h
         h = nn.LayerNorm(dtype=self.dtype, name="ln2")(x)
         h = Mlp(int(e * self.mlp_ratio), e, self.dropout_rate,
-                self.dtype, name="mlp")(h, deterministic=deterministic)
+                self.dtype, quant=self.quant,
+                name="mlp")(h, deterministic=deterministic)
         return x + h
 
 
@@ -93,6 +114,7 @@ class TransformerEncoder(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     remat: bool = False
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -103,7 +125,7 @@ class TransformerEncoder(nn.Module):
         for i in range(self.depth):
             x = block_cls(self.num_heads, self.mlp_ratio,
                           self.dropout_rate, self.dtype,
-                          name=f"block_{i}")(
+                          quant=self.quant, name=f"block_{i}")(
                 x, mask, deterministic=deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
 

@@ -36,7 +36,8 @@ class TextEncoder(nn.Module):
         hidden = TransformerEncoder(
             depth=cfg.depth, num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio, dropout_rate=cfg.dropout_rate,
-            dtype=self.dtype, remat=self.remat, name="encoder")(
+            dtype=self.dtype, remat=self.remat,
+            quant=cfg.quant == "int8", name="encoder")(
             x, attention_mask, deterministic=deterministic)
 
         pooled = pool_tokens(hidden, "cls")

@@ -53,7 +53,8 @@ class VisionTransformer(nn.Module):
         hidden = TransformerEncoder(
             depth=cfg.depth, num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio, dropout_rate=cfg.dropout_rate,
-            dtype=self.dtype, remat=self.remat, name="encoder")(
+            dtype=self.dtype, remat=self.remat,
+            quant=cfg.quant == "int8", name="encoder")(
             x, deterministic=deterministic)
 
         pooled = pool_tokens(hidden, cfg.pool)
