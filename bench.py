@@ -33,14 +33,21 @@ def main() -> None:
                                        tiny_config)
     from radar_tpu.models.experts import create_model
 
+    import dataclasses
+
     on_tpu = jax.default_backend() == "tpu"
     preset = os.environ.get("RADAR_BENCH_CONFIG", "serving")
     if not on_tpu:  # CPU smoke fallback so bench.py always runs
         cfg, batch = tiny_config(), 16
-    elif preset == "quality":
+    elif preset.startswith("quality"):
         cfg, batch = RadarConfig(), 256
     else:
         cfg, batch = serving_config(), 512
+    if preset.endswith("int8"):  # e.g. RADAR_BENCH_CONFIG=serving_int8
+        cfg = dataclasses.replace(
+            cfg,
+            vision=dataclasses.replace(cfg.vision, quant="int8"),
+            text=dataclasses.replace(cfg.text, quant="int8"))
 
     seq = min(128, cfg.text.max_length)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32
