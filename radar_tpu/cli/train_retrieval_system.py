@@ -19,6 +19,8 @@ import json
 import os
 import time
 
+import numpy as np
+
 from ..core.checkpoint import save_params
 from ..core.logging import get_logger
 from .common import (add_common_args, make_tokenizer, add_data_args,
@@ -34,6 +36,11 @@ def build_parser():
                         choices=["2.1", "2.2", "2.3", "all"],
                         default="all")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--lm_epochs", type=int, default=None,
+                        help="Decoder-LM (2.3) epoch override — LM "
+                             "epochs are cheap (~20 s) and report "
+                             "quality tracks LM convergence, so train "
+                             "it much longer than the embedder")
     parser.add_argument("--learning_rate", type=float, default=None)
     parser.add_argument("--output_dir", type=str,
                         default="./checkpoints/retrieval_system/")
@@ -129,13 +136,39 @@ def main(argv=None):
         ids, attn, lmask = make_pipeline_lm_examples(
             meta, tokenizer, cfg.decoder.max_length)
 
+        # Serving conditions the decoder on an image-embedding prefix
+        # (pipeline/radar.py) — train with the SAME prefix distribution
+        # by embedding each study through the just-trained embedder;
+        # zeros otherwise (train/serve parity).
+        prefixes = np.zeros((len(ids), cfg.decoder.prefix_dim),
+                            np.float32)
+        emb_ckpt = os.path.join(args.output_dir, "embedder")
+        if os.path.isdir(emb_ckpt):
+            from ..core.checkpoint import load_params
+            from ..retrieval.embedder import JittedEmbedder
+            embedder = JittedEmbedder.create(cfg.vision, cfg.text,
+                                             cfg.retrieval, tokenizer)
+            embedder.params = load_params(
+                emb_ckpt, {"params": embedder.params})["params"]
+            chunk = 64
+            for s in range(0, len(train_ds), chunk):
+                imgs = [train_ds[i]["pixel_values"]
+                        for i in range(s, min(s + chunk, len(train_ds)))]
+                prefixes[s:s + len(imgs)] = np.asarray(
+                    embedder.embed_images(imgs))[:, :cfg.decoder.prefix_dim]
+            logger.info("LM prefixes from trained embedder (%d studies)",
+                        len(train_ds))
+
         def batches():
             for s in range(0, len(ids) - bs + 1, bs):
                 yield {"input_ids": ids[s:s + bs],
                        "attention_mask": attn[s:s + bs],
-                       "loss_mask": lmask[s:s + bs]}
+                       "loss_mask": lmask[s:s + bs],
+                       "prefix_embedding": prefixes[s:s + bs]}
 
-        module, params, history = train_decoder_lm(cfg, batches)
+        lm_cfg = (cfg.override(**{"train.num_epochs": args.lm_epochs})
+                  if args.lm_epochs else cfg)
+        module, params, history = train_decoder_lm(lm_cfg, batches)
         save_params(os.path.join(args.output_dir, "decoder"),
                     {"params": params})
         results["2.3"] = {"history": history,
