@@ -243,11 +243,11 @@ def lm_loss(logits, targets, mask):
 
 @partial(jax.jit,
          static_argnames=("model", "max_new_tokens", "eos_id",
-                          "temperature"))
+                          "temperature", "ring"))
 def generate(model: ReportDecoder, params, input_ids, attention_mask,
              prefix_embedding=None, rng=None, *,
              max_new_tokens: int = 100, temperature: float = 0.0,
-             eos_id: int = 2, banned_mask=None):
+             eos_id: int = 2, banned_mask=None, ring=None):
     """Jitted autoregressive generation.
 
     Prompts are right-padded; each row decodes from its own length.
@@ -259,10 +259,19 @@ def generate(model: ReportDecoder, params, input_ids, attention_mask,
     hallucination prevention (contribution 3.3): ban the token ids of
     observation names the expert stage rejects, and the decoder cannot
     write them.
+
+    ``ring``: optional ``(mesh, axis_name)`` — context-parallel ring
+    attention for the PREFILL (long prompts sequence-sharded over the
+    mesh axis; ``parallel/context.py``); the token-by-token decode
+    stays single-program.
     """
     b = input_ids.shape[0]
     lengths = jnp.sum(attention_mask, axis=1).astype(jnp.int32)  # [B]
     prefix_offset = 0 if prefix_embedding is None else 1
+    if ring is not None:
+        mesh, axis = ring
+        if (input_ids.shape[1] + prefix_offset) % mesh.shape[axis]:
+            ring = None   # sequence not CP-divisible: plain prefill
 
     # cache sized to the worst case of this call, 128-aligned
     need = input_ids.shape[1] + prefix_offset + max_new_tokens
@@ -276,7 +285,7 @@ def generate(model: ReportDecoder, params, input_ids, attention_mask,
                     model.config.max_length + prefix_offset)
     logits, caches = model.apply(
         {"params": params}, input_ids, attention_mask, prefix_embedding,
-        method=model.prefill, cache_len=cache_len)
+        method=model.prefill, cache_len=cache_len, ring=ring)
     # logits index of last real token (prefix shifts positions by 1)
     last_idx = lengths - 1 + prefix_offset
     next_logits = jnp.take_along_axis(

@@ -37,7 +37,11 @@ class RadarPipeline:
                  decoder: ReportDecoder | None = None,
                  decoder_params=None,
                  fusion_module=None, fusion_params=None,
-                 temporal_model=None, temporal_params=None):
+                 temporal_model=None, temporal_params=None,
+                 ring=None):
+        #: optional (mesh, axis_name): context-parallel ring attention
+        #: for decoder prefills (long-context serving over ICI)
+        self.ring = ring
         self.config = config
         self.tokenizer = tokenizer
         self.expert_model = expert_model
@@ -148,7 +152,8 @@ class RadarPipeline:
                 jnp.asarray(ids)[None], jnp.asarray(mask)[None],
                 prefix_embedding=image_embedding, rng=rng,
                 max_new_tokens=self.config.rag.max_new_tokens,
-                temperature=temperature, banned_mask=banned)
+                temperature=temperature, banned_mask=banned,
+                ring=self.ring)
             return self.tokenizer.decode(np.asarray(tokens)[0])
 
         return generation_fn
@@ -221,7 +226,8 @@ class RadarPipeline:
             max_new_tokens=self.config.rag.max_new_tokens,
             temperature=0.0,
             banned_mask=(None if banned_mask is None
-                         else jnp.asarray(banned_mask)))
+                         else jnp.asarray(banned_mask)),
+            ring=self.ring)
         tokens = np.asarray(tokens)
         return [self.tokenizer.decode(tokens[i])
                 for i in range(tokens.shape[0])]

@@ -102,3 +102,43 @@ def test_cp_prefill_matches_plain(mesh_data):
     for (kc, vc), (kr, vr) in zip(caches_cp, caches_ref):
         np.testing.assert_allclose(np.asarray(kc), np.asarray(kr),
                                    atol=2e-5, rtol=1e-4)
+
+
+def test_generate_with_ring_matches_plain(mesh_data):
+    """End-to-end serving with context-parallel prefill: generate()
+    with ring=(mesh, axis) must emit the same tokens as the plain
+    single-program path (the decode loop itself is unsharded)."""
+    import jax
+    import jax.numpy as jnp
+
+    from radar_tpu.core.config import DecoderConfig
+    from radar_tpu.models.decoder import ReportDecoder, generate
+
+    cfg = DecoderConfig(vocab_size=64, hidden_size=32, depth=2,
+                        num_heads=4, max_length=128, prefix_dim=16)
+    model = ReportDecoder(cfg)
+    rng = np.random.default_rng(0)
+    b, t = 2, 32
+    ids = jnp.asarray(rng.integers(4, 64, (b, t)), jnp.int32)
+    mask = jnp.asarray(np.stack([
+        (np.arange(t) < 20).astype(np.int32),
+        np.ones(t, np.int32)]))
+    prefix = jnp.zeros((b, cfg.prefix_dim), jnp.float32)
+    params = model.init(jax.random.key(0), ids, mask, prefix)["params"]
+
+    # no prefix: S=32 divides the 8-way axis -> ring prefill active
+    plain = np.asarray(generate(model, params, ids, mask,
+                                max_new_tokens=12))
+    ringed = np.asarray(generate(model, params, ids, mask,
+                                 max_new_tokens=12,
+                                 ring=(mesh_data, "data")))
+    np.testing.assert_array_equal(plain, ringed)
+
+    # with an image prefix S+1=33 is not CP-divisible: generate must
+    # fall back to the plain prefill rather than crash
+    plain_p = np.asarray(generate(model, params, ids, mask, prefix,
+                                  max_new_tokens=12))
+    ringed_p = np.asarray(generate(model, params, ids, mask, prefix,
+                                   max_new_tokens=12,
+                                   ring=(mesh_data, "data")))
+    np.testing.assert_array_equal(plain_p, ringed_p)
