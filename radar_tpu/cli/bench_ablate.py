@@ -69,6 +69,35 @@ def timed(fn, *args, iters: int = 20) -> float:
     return (time.perf_counter() - t0) / iters
 
 
+def timed_chain(step_fn, params, x, *rest, iters: int = 20,
+                perturb=None) -> float:
+    """Device-only timing: one jitted program `lax.scan`s the step over
+    `iters` on-device-perturbed inputs and returns a single scalar, so
+    per-call relay dispatch overhead is excluded entirely.  A distinct
+    warmup input keeps the relay's replay cache out of the timed call.
+    """
+    from jax import lax
+
+    if perturb is None:
+        def perturb(x0, i):
+            return x0 * (1.0 + 1e-3 * i)
+
+    @jax.jit
+    def chain(p, x0, *r):
+        def body(acc, i):
+            return acc + step_fn(p, perturb(x0, i), *r), None
+        acc, _ = lax.scan(
+            body, jnp.float32(0),
+            jnp.arange(iters, dtype=jnp.float32))
+        return acc
+
+    # compile + warmup on a distinct input (replay-cache defeat)
+    float(chain(params, perturb(x, jnp.float32(97.0)), *rest))
+    t0 = time.perf_counter()
+    float(chain(params, x, *rest))
+    return (time.perf_counter() - t0) / iters
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--output", type=str,
@@ -116,6 +145,19 @@ def main(argv=None):
                      "mfu": fl / dt / 1e12 / PEAK_TFLOPS,
                      "images_per_sec": batch / dt})
 
+        # same model, scan-chained on device: true compute MFU with
+        # relay dispatch overhead excluded
+        def full_step(p, x, i, m):
+            return jnp.sum(model.apply({"params": p}, x, i, m,
+                                       deterministic=True))
+        dt = timed_chain(full_step, params, pv, ids, mask,
+                         iters=args.iters)
+        rows.append({"component": "expert_full_chained", "batch": batch,
+                     "ms": dt * 1e3, "gflops": fl / 1e9,
+                     "tflops": fl / dt / 1e12,
+                     "mfu": fl / dt / 1e12 / PEAK_TFLOPS,
+                     "images_per_sec": batch / dt})
+
         # vision tower alone
         vt = VisionTransformer(cfg.vision, dtype)
         vparams = jax.jit(lambda k: vt.init(k, pv))(
@@ -125,6 +167,15 @@ def main(argv=None):
         dt = timed(vis, vparams, pv, iters=args.iters)
         fl = vit_flops(cfg) * batch
         rows.append({"component": "vision_vit", "batch": batch,
+                     "ms": dt * 1e3, "gflops": fl / 1e9,
+                     "tflops": fl / dt / 1e12,
+                     "mfu": fl / dt / 1e12 / PEAK_TFLOPS,
+                     "images_per_sec": batch / dt})
+
+        def vis_step(p, x):
+            return jnp.sum(vt.apply({"params": p}, x)["pooler_output"])
+        dt = timed_chain(vis_step, vparams, pv, iters=args.iters)
+        rows.append({"component": "vision_vit_chained", "batch": batch,
                      "ms": dt * 1e3, "gflops": fl / 1e9,
                      "tflops": fl / dt / 1e12,
                      "mfu": fl / dt / 1e12 / PEAK_TFLOPS,
@@ -151,6 +202,19 @@ def main(argv=None):
         dt = (time.perf_counter() - t0) / args.iters
         fl = text_flops(cfg, seq) * batch
         rows.append({"component": "text_tower", "batch": batch,
+                     "ms": dt * 1e3, "gflops": fl / 1e9,
+                     "tflops": fl / dt / 1e12,
+                     "mfu": fl / dt / 1e12 / PEAK_TFLOPS,
+                     "images_per_sec": batch / dt})
+
+        def txt_step(p, i, m):
+            return jnp.sum(tt.apply({"params": p}, i,
+                                    m)["pooler_output"])
+        dt = timed_chain(
+            txt_step, tparams, ids, mask, iters=args.iters,
+            perturb=lambda i0, i: (i0 + i.astype(jnp.int32))
+            % cfg.text.vocab_size)
+        rows.append({"component": "text_tower_chained", "batch": batch,
                      "ms": dt * 1e3, "gflops": fl / 1e9,
                      "tflops": fl / dt / 1e12,
                      "mfu": fl / dt / 1e12 / PEAK_TFLOPS,

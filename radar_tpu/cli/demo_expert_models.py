@@ -38,8 +38,11 @@ def test_variant(kind: str, cfg, batch) -> dict:
     rng = jax.random.key(0)
     params = model.init(rng, batch["pixel_values"], batch["input_ids"],
                         batch["attention_mask"])["params"]
-    logits = model.apply({"params": params}, batch["pixel_values"],
-                         batch["input_ids"], batch["attention_mask"])
+    # jit everything: eager per-op dispatch dominates wall time on a
+    # single-core host, and jitted compiles hit the persistent cache.
+    logits = jax.jit(model.apply)(
+        {"params": params}, batch["pixel_values"],
+        batch["input_ids"], batch["attention_mask"])
     assert logits.shape == (batch["labels"].shape[0], 14)
 
     # backward: variant-appropriate loss
@@ -58,7 +61,7 @@ def test_variant(kind: str, cfg, batch) -> dict:
             loss = L.bce_loss(lg, batch["labels"])
         return loss
 
-    loss, grads = jax.value_and_grad(loss_fn)(params)
+    loss, grads = jax.jit(jax.value_and_grad(loss_fn))(params)
     gnorm = float(jnp.sqrt(sum(jnp.sum(g.astype(jnp.float32) ** 2)
                                for g in jax.tree.leaves(grads))))
     assert np.isfinite(float(loss)) and np.isfinite(gnorm) and gnorm > 0
@@ -71,10 +74,11 @@ def test_variant(kind: str, cfg, batch) -> dict:
                                 jax.random.key(2), num_samples=5)
         extras["mc_std_mean"] = float(mc["std_probs"].mean())
     if kind == "contrastive":
-        img, txt, scale = model.apply(
-            {"params": params}, batch["pixel_values"],
-            batch["input_ids"], batch["attention_mask"],
-            method=model.contrastive_forward)
+        img, txt, scale = jax.jit(
+            lambda p: model.apply(
+                {"params": p}, batch["pixel_values"],
+                batch["input_ids"], batch["attention_mask"],
+                method=model.contrastive_forward))(params)
         closs, _ = L.contrastive_loss(img, txt, scale, batch["labels"],
                                       cfg.expert)
         extras["contrastive_loss"] = float(closs)

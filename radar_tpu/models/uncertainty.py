@@ -28,8 +28,19 @@ def mc_dropout_predict(model, params, pixel_values, input_ids,
 
     Returns dict(mean_probs, std_probs, entropy, logits_mean) — the
     same payload as the reference's ``forward_with_uncertainty``.
+    Jitted (model and K are static): both the serving path and the
+    evaluator call this per study/batch, and linen modules hash by
+    field so the jit cache is stable across calls.
     """
     k = num_samples or model.expert_config.mc_samples
+    return _mc_dropout_jit(model, params, pixel_values, input_ids,
+                           attention_mask, rng, k)
+
+
+@partial(jax.jit, static_argnames=("model", "num_samples"))
+def _mc_dropout_jit(model, params, pixel_values, input_ids,
+                    attention_mask, rng, num_samples):
+    k = num_samples
     feats = model.apply({"params": params}, pixel_values, input_ids,
                         attention_mask, deterministic=True,
                         method=model.encode)

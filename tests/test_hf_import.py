@@ -205,8 +205,8 @@ def test_swinv2_as_expert_vision_tower(cfg):
     ids = jnp.zeros((2, 16), jnp.int32)
     mask = jnp.ones((2, 16), jnp.int32)
     params = model.init(jax.random.key(0), pv, ids, mask)["params"]
-    logits = model.apply({"params": params}, pv, ids, mask,
-                         deterministic=True)
+    logits = jax.jit(lambda p: model.apply(
+        {"params": p}, pv, ids, mask, deterministic=True))(params)
     assert logits.shape == (2, 14)
 
     def loss(p):
@@ -215,7 +215,7 @@ def test_swinv2_as_expert_vision_tower(cfg):
         return optax.sigmoid_binary_cross_entropy(
             lg, jnp.zeros_like(lg)).mean()
 
-    grads = jax.grad(loss)(params)
+    grads = jax.jit(jax.grad(loss))(params)
     gnorm = optax.global_norm(grads)
     assert np.isfinite(float(gnorm)) and float(gnorm) > 0
 

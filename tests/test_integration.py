@@ -22,14 +22,14 @@ def test_expert_learns_on_synthetic_data(cfg, dataset):
     """Training on the structured synthetic set must beat chance."""
     model = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
     batch0 = next(dataset.batches(16))
-    tcfg = cfg.train.override(learning_rate=1e-3, num_epochs=25,
+    tcfg = cfg.train.override(learning_rate=1e-3, num_epochs=12,
                               schedule="constant")
     state = create_train_state(model, jax.random.key(0), batch0, tcfg,
                                steps_per_epoch=2)
     step = make_train_step(model, baseline_loss_fn)
     rng = jax.random.key(1)
     first_loss = last_loss = None
-    for epoch in range(25):
+    for epoch in range(12):
         for batch in dataset.batches(16, shuffle=True, seed=epoch):
             state, m = step(state, batch, rng)
             if first_loss is None:
@@ -117,7 +117,7 @@ def test_trained_decoder_generates_true_observations(cfg, tokenizer):
     from radar_tpu.pipeline.observations import ObservationDetector
 
     tcfg = cfg.override(**{"train.learning_rate": 3e-3,
-                           "train.num_epochs": 25,
+                           "train.num_epochs": 15,
                            "train.schedule": "constant"})
     ds = SyntheticCXRDataset(64, cfg.vision.image_size,
                              cfg.text.max_length, tokenizer=tokenizer,

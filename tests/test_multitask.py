@@ -59,9 +59,9 @@ def test_multitask_loss_and_grads(cfg, batch):
                         batch["input_ids"],
                         batch["attention_mask"])["params"]
     loss_fn = multitask_loss_fn(cfg.expert)
-    (loss, aux), grads = jax.value_and_grad(
+    (loss, aux), grads = jax.jit(jax.value_and_grad(
         lambda p: loss_fn(model, p, batch, jax.random.key(1)),
-        has_aux=True)(params)
+        has_aux=True))(params)
     assert np.isfinite(float(loss))
     for k in ("obs_loss", "severity_loss", "urgency_loss", "region_loss"):
         assert np.isfinite(float(aux[k]))

@@ -41,13 +41,13 @@ def test_comparator_shapes_and_grads(cfg):
     model = TemporalComparator(cfg.vision, cfg.expert)
     params = model.init(jax.random.key(0), batch["pixel_values"],
                         batch["prior_pixel_values"])["params"]
-    out = model.apply({"params": params}, batch["pixel_values"],
-                      batch["prior_pixel_values"])
+    out = jax.jit(model.apply)({"params": params}, batch["pixel_values"],
+                               batch["prior_pixel_values"])
     assert out["progression_logits"].shape == (4, 14, 3)
     loss_fn = temporal_loss_fn(cfg.expert)
-    (loss, aux), grads = jax.value_and_grad(
+    (loss, aux), grads = jax.jit(jax.value_and_grad(
         lambda p: loss_fn(model, p, batch, jax.random.key(1)),
-        has_aux=True)(params)
+        has_aux=True))(params)
     assert np.isfinite(float(loss))
     assert 0.0 <= float(aux["progression_accuracy"]) <= 1.0
     # the siamese tower is shared: exactly one vision param subtree
