@@ -128,23 +128,26 @@ class MultiTaskExpert(nn.Module):
         self.region_head = nn.Dense(NUM_REGIONS, dtype=self.dtype,
                                     name="region_head")
         # Kendall-style per-task log-variances: observations, severity,
-        # urgency, regions.
+        # urgency, regions.  Aux tasks start down-weighted (s=1 →
+        # weight e⁻¹≈0.37) so the primary observation task owns the
+        # towers early; the weights remain learned thereafter.
         self.task_log_vars = self.param(
-            "task_log_vars", nn.initializers.zeros, (4,))
-
-    def _features(self, pixel_values, input_ids, attention_mask, *,
-                  deterministic: bool = True):
-        v, t = self.towers(pixel_values, input_ids, attention_mask,
-                           deterministic=deterministic)
-        joint = jnp.concatenate([v, t], axis=-1)
-        return nn.gelu(self.trunk(joint))
+            "task_log_vars",
+            lambda key, shape: jnp.asarray([0.0, 1.0, 1.0, 1.0]), (4,))
 
     def multi_task_forward(self, pixel_values, input_ids, attention_mask,
                            *, deterministic: bool = True) -> dict:
-        h = self._features(pixel_values, input_ids, attention_mask,
+        v, t = self.towers(pixel_values, input_ids, attention_mask,
                            deterministic=deterministic)
+        joint = jnp.concatenate([v, t], axis=-1)
+        # The observation classifier reads the raw joint features —
+        # the exact baseline topology — while only the auxiliary heads
+        # share the gelu trunk.  With the classifier *behind* the
+        # trunk, aux-task gradients dominate the shared bottleneck and
+        # observation F1 stays at chance ~3x longer (round-2 finding).
+        h = nn.gelu(self.trunk(joint))
         return {
-            "logits": self.classifier(h, deterministic=deterministic),
+            "logits": self.classifier(joint, deterministic=deterministic),
             "severity_logits": self.severity_head(h).astype(jnp.float32),
             "urgency_logits": self.urgency_head(h).astype(jnp.float32),
             "region_logits": self.region_head(h).astype(jnp.float32),

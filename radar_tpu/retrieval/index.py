@@ -153,13 +153,12 @@ class ShardedIndex:
         )
         return jax.jit(mapped)
 
-    def search(self, queries: np.ndarray, k: int | None = None,
-               query_observations: np.ndarray | None = None):
-        """Top-k search. Returns (scores [Q,k], ids [Q,k]) on host.
-
-        With ``query_observations`` ([Q, 14] multi-hot), scoring is the
-        hybrid semantic+observation mix; otherwise pure semantic.
-        """
+    def search_device(self, queries, k: int | None = None,
+                      query_observations=None):
+        """Top-k search returning DEVICE arrays (scores [Q,k],
+        ids [Q,k]) with no host sync — the streaming-serving building
+        block: callers may queue many batches in flight and read
+        results when needed (``search`` is the sync wrapper)."""
         k = k or self.config.top_k
         if self._search_fn is None or self._search_k != k:
             self._search_fn = self._build_search(k)
@@ -172,8 +171,17 @@ class ShardedIndex:
         else:
             q_obs = jnp.asarray(query_observations, jnp.float32)
             use_obs = jnp.asarray(True)
-        vals, idx = self._search_fn(self.embeddings, self.observations,
-                                    self.valid, q, q_obs, use_obs)
+        return self._search_fn(self.embeddings, self.observations,
+                               self.valid, q, q_obs, use_obs)
+
+    def search(self, queries: np.ndarray, k: int | None = None,
+               query_observations: np.ndarray | None = None):
+        """Top-k search. Returns (scores [Q,k], ids [Q,k]) on host.
+
+        With ``query_observations`` ([Q, 14] multi-hot), scoring is the
+        hybrid semantic+observation mix; otherwise pure semantic.
+        """
+        vals, idx = self.search_device(queries, k, query_observations)
         vals = np.asarray(vals)
         idx = np.asarray(idx)
         # mask padding hits (fewer than k valid rows)

@@ -33,6 +33,11 @@ python -m radar_tpu.cli.evaluate_expert_models --test_all \
   --set train.eval_batch_size=256 \
   --output_path results/expert_model_comparison_leakfree.json
 
+echo "=== contribution 3.1: temporal comparator (train + eval)"
+python -m radar_tpu.cli.train_temporal --synthetic --tiny \
+  --synthetic_size 1024 --epochs 6 \
+  --output_path results/temporal_evaluation.json
+
 PIPE="--synthetic --tiny --synthetic_size 5120 --num_samples 128 \
   --passages 5120 --set retrieval.capacity=5120 \
   --model_type uncertainty \
