@@ -43,11 +43,13 @@ def main() -> None:
         cfg, batch = RadarConfig(), 256
     else:
         cfg, batch = serving_config(), 512
-    if preset.endswith("int8"):  # e.g. RADAR_BENCH_CONFIG=serving_int8
+    # e.g. RADAR_BENCH_CONFIG=serving_int8 / quality_aqt
+    qmode = next((q for q in ("int8", "aqt") if preset.endswith(q)), None)
+    if qmode:
         cfg = dataclasses.replace(
             cfg,
-            vision=dataclasses.replace(cfg.vision, quant="int8"),
-            text=dataclasses.replace(cfg.text, quant="int8"))
+            vision=dataclasses.replace(cfg.vision, quant=qmode),
+            text=dataclasses.replace(cfg.text, quant=qmode))
 
     seq = min(128, cfg.text.max_length)
     dtype = jnp.bfloat16 if on_tpu else jnp.float32

@@ -18,14 +18,19 @@ from ..ops.attention import dot_product_attention
 Dtype = jnp.dtype
 
 
-def _dg(quant: bool):
-    """Dense ``dot_general`` for the requested precision: the W8A8
-    dynamic-quant kernel (serving; 2x MXU rate on v5e) or the default
-    float path.  Param trees are identical either way."""
-    if quant:
-        from ..ops.quant import int8_dot_general
-        return int8_dot_general
-    return None
+def _dense_kwargs(quant) -> dict:
+    """``nn.Dense`` kwargs for the requested precision — one of
+    ``False``/``"none"`` (float), ``True``/``"int8"`` (our hand-rolled
+    W8A8 dynamic-quant dot_general) or ``"aqt"`` (AQT v2 int8
+    dot_general — emits native s8 dots for the MXU's 2x int8 rate).
+    Param trees are identical in every mode."""
+    if quant in (False, None, "", "none"):
+        return {}
+    if quant == "aqt":
+        from ..ops.quant import aqt_dot_general_cls
+        return {"dot_general_cls": aqt_dot_general_cls()}
+    from ..ops.quant import int8_dot_general
+    return {"dot_general": int8_dot_general}
 
 
 class Mlp(nn.Module):
@@ -33,18 +38,18 @@ class Mlp(nn.Module):
     out_dim: int
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
-        dg = _dg(self.quant)
+        dk = _dense_kwargs(self.quant)
         x = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1",
-                     dot_general=dg)(x)
+                     **dk)(x)
         # exact (erf) GELU for numerical parity with imported HF weights
         x = nn.gelu(x, approximate=False)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         x = nn.Dense(self.out_dim, dtype=self.dtype, name="fc2",
-                     dot_general=dg)(x)
+                     **dk)(x)
         x = nn.Dropout(self.dropout_rate)(x, deterministic=deterministic)
         return x
 
@@ -55,7 +60,7 @@ class MultiHeadAttention(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     causal: bool = False
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None, *, deterministic: bool = True):
@@ -63,11 +68,10 @@ class MultiHeadAttention(nn.Module):
         e = x.shape[-1]
         assert e % self.num_heads == 0, "hidden not divisible by heads"
         d = e // self.num_heads
-        dg = _dg(self.quant)
+        dk = _dense_kwargs(self.quant)
 
         def heads(name, inp):
-            y = nn.Dense(e, dtype=self.dtype, name=name,
-                         dot_general=dg)(inp)
+            y = nn.Dense(e, dtype=self.dtype, name=name, **dk)(inp)
             return y.reshape(*y.shape[:-1], self.num_heads, d).transpose(
                 0, 2, 1, 3)
 
@@ -78,8 +82,7 @@ class MultiHeadAttention(nn.Module):
             mask = mask[:, None, None, :].astype(bool)
         out = dot_product_attention(q, k, v, mask=mask, causal=self.causal)
         out = out.transpose(0, 2, 1, 3).reshape(*x.shape[:-1], e)
-        out = nn.Dense(e, dtype=self.dtype, name="out",
-                       dot_general=dg)(out)
+        out = nn.Dense(e, dtype=self.dtype, name="out", **dk)(out)
         out = nn.Dropout(self.dropout_rate)(out, deterministic=deterministic)
         return out
 
@@ -89,7 +92,7 @@ class EncoderBlock(nn.Module):
     mlp_ratio: float = 4.0
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -114,7 +117,7 @@ class TransformerEncoder(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     remat: bool = False
-    quant: bool = False
+    quant: bool | str = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):

@@ -54,7 +54,7 @@ class VisionTransformer(nn.Module):
             depth=cfg.depth, num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio, dropout_rate=cfg.dropout_rate,
             dtype=self.dtype, remat=self.remat,
-            quant=cfg.quant == "int8", name="encoder")(
+            quant=cfg.quant, name="encoder")(
             x, deterministic=deterministic)
 
         pooled = pool_tokens(hidden, cfg.pool)

@@ -62,3 +62,24 @@ def int8_dot_general(lhs, rhs, dimension_numbers, precision=None,
     if preferred_element_type is not None:
         return scaled.astype(preferred_element_type)
     return scaled.astype(lhs.dtype)
+
+
+def aqt_dot_general_cls():
+    """``nn.Dense(dot_general_cls=...)`` factory backed by AQT v2.
+
+    AQT's int8 dot_general lowers to native s8xs8->s32 dots (the MXU's
+    2x int8 rate on v5e) with production-grade scale handling — the
+    preferred serving-quant backend when the ``aqt`` package is
+    available (``vision.quant = "aqt"``).  Stateless dynamic
+    quantization: no extra params, no calibration, no PRNG
+    (``prng_name=None`` disables stochastic rounding).
+    """
+    from aqt.jax.v2 import config as aqt_config
+    from aqt.jax.v2.flax import aqt_flax
+
+    cfg = aqt_config.dot_general_make(lhs_bits=8, rhs_bits=8)
+
+    def make(**kw):
+        return aqt_flax.AqtDotGeneral(cfg, prng_name=None, **kw)
+
+    return make

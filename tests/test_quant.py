@@ -35,13 +35,18 @@ def test_int8_dot_general_3d_activations():
     assert rel < 0.02, rel
 
 
-def test_quantized_expert_prediction_parity(cfg, batch):
+import pytest
+
+
+@pytest.mark.parametrize("qmode", ["int8", "aqt"])
+def test_quantized_expert_prediction_parity(cfg, batch, qmode):
     """Same params, quant towers on: logits stay close and the top
-    observation ranking is preserved (the serving contract)."""
+    observation ranking is preserved (the serving contract).  Covers
+    both the hand-rolled W8A8 kernel and the AQT v2 backend."""
     float_model = create_model("baseline", cfg.vision, cfg.text,
                                cfg.expert)
-    vq = dataclasses.replace(cfg.vision, quant="int8")
-    tq = dataclasses.replace(cfg.text, quant="int8")
+    vq = dataclasses.replace(cfg.vision, quant=qmode)
+    tq = dataclasses.replace(cfg.text, quant=qmode)
     quant_model = create_model("baseline", vq, tq, cfg.expert)
 
     params = float_model.init(jax.random.key(0), batch["pixel_values"],
