@@ -1,0 +1,104 @@
+"""Batched report-serving throughput bench: the measured artifact
+behind the README's ``generate_reports_batch`` reports/sec row.
+
+Runs the FULL two-stage pipeline (expert gating + retrieval + fusion
+conflict filtering + iterative RAG decode) over batches of distinct
+synthetic studies and reports reports/sec + per-batch latency.  String
+outputs are produced on host, so every batch is naturally fenced — no
+replay-cache hazard.
+
+Usage:
+    python -m radar_tpu.cli.bench_serving --batch_size 16 \
+        --num_batches 4 --output results/serving_throughput.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..core.logging import get_logger
+from .common import (add_common_args, add_data_args, build_datasets,
+                     load_config, make_tokenizer)
+from .evaluate_pipeline import build_pipeline_from_args
+from .evaluate_retrieval_system import _normalized_image
+
+logger = get_logger("radar_tpu.bench_serving")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Measure batched end-to-end report throughput")
+    parser.add_argument("--model_type", type=str, default="baseline")
+    parser.add_argument("--expert_checkpoint", type=str, default=None)
+    parser.add_argument("--retrieval_checkpoint", type=str,
+                        default="./checkpoints/retrieval_system")
+    parser.add_argument("--passages", type=int, default=1024)
+    parser.add_argument("--serve_batch", type=int, default=16)
+    parser.add_argument("--num_batches", type=int, default=4)
+    parser.add_argument("--grounding", action="store_true")
+    parser.add_argument("--output", type=str,
+                        default="results/serving_throughput.json")
+    add_data_args(parser)
+    add_common_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    tokenizer = make_tokenizer(args, cfg)
+    datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
+    train_ds, test_ds = datasets["train"], datasets["test"]
+    pipe = build_pipeline_from_args(args, cfg, tokenizer, train_ds)
+
+    need = args.serve_batch * (args.num_batches + 1)
+    if need > len(test_ds):
+        raise SystemExit(f"need {need} test studies, have {len(test_ds)}"
+                         " — raise --synthetic_size")
+    studies = []
+    for i in range(need):
+        s = test_ds[i]
+        meta = test_ds.sample_meta(i)
+        studies.append((_normalized_image(s, cfg),
+                        meta["clinical_context"]))
+
+    def run(batch):
+        imgs = [s[0] for s in batch]
+        ctxs = [s[1] for s in batch]
+        return pipe.generate_reports_batch(
+            imgs, ctxs, verify_grounding=args.grounding)
+
+    b = args.serve_batch
+    run(studies[:b])                         # warmup / compile
+    lat = []
+    for i in range(1, args.num_batches + 1):
+        t0 = time.perf_counter()
+        outs = run(studies[i * b:(i + 1) * b])
+        lat.append(time.perf_counter() - t0)
+        assert len(outs) == b and all(o["report"] for o in outs)
+    lat = np.asarray(lat)
+    result = {
+        "backend": __import__("jax").default_backend(),
+        "batch_size": b, "num_batches": args.num_batches,
+        "grounding": bool(args.grounding),
+        "reports_per_sec": b / float(lat.mean()),
+        "seconds_per_batch_mean": float(lat.mean()),
+        "seconds_per_batch_p50": float(np.percentile(lat, 50)),
+        "measured": True,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)),
+                exist_ok=True)
+    with open(args.output, "w") as f:
+        json.dump(result, f, indent=2)
+    logger.info("%.1f reports/sec (b%d)", result["reports_per_sec"], b)
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -72,24 +72,11 @@ def build_parser():
     return parser
 
 
-def main(argv=None):
-    args = build_parser().parse_args(argv)
-    cfg = load_config(args)
-    if args.max_iterations:
-        cfg = cfg.override(**{"rag.max_iterations": args.max_iterations})
-    tokenizer = make_tokenizer(args, cfg)
-    datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
-    train_ds, test_ds = datasets["train"], datasets["test"]
-    if args.leakage_free:
-        from ..data.synthetic import SyntheticCXRDataset
-        if not isinstance(test_ds, SyntheticCXRDataset):
-            raise SystemExit("--leakage_free applies to synthetic data")
-        # same seed as build_datasets' test split -> identical
-        # labels/images/reports, only the context string changes
-        test_ds = SyntheticCXRDataset(
-            len(test_ds), cfg.vision.image_size, cfg.text.max_length,
-            seed=101, tokenizer=tokenizer, leak_labels=False)
-
+def build_pipeline_from_args(args, cfg, tokenizer, train_ds
+                             ) -> RadarPipeline:
+    """Assemble the full serving pipeline (expert + retrieval index +
+    decoder + optional fusion) from CLI args and checkpoints — shared
+    by the evaluation and serving-bench CLIs."""
     sample_batch = next(iter(train_ds.batches(2)))
     if "raw_images" in sample_batch:
         sample_batch = train_ds.device_batch(sample_batch)
@@ -128,9 +115,30 @@ def main(argv=None):
         fusion_params = load_params(
             fus_ckpt, {"params": jax.device_get(fusion_params)})["params"]
 
-    pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
+    return RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
                          decoder, decoder_params, fusion_module,
                          fusion_params)
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    if args.max_iterations:
+        cfg = cfg.override(**{"rag.max_iterations": args.max_iterations})
+    tokenizer = make_tokenizer(args, cfg)
+    datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
+    train_ds, test_ds = datasets["train"], datasets["test"]
+    if args.leakage_free:
+        from ..data.synthetic import SyntheticCXRDataset
+        if not isinstance(test_ds, SyntheticCXRDataset):
+            raise SystemExit("--leakage_free applies to synthetic data")
+        # same seed as build_datasets' test split -> identical
+        # labels/images/reports, only the context string changes
+        test_ds = SyntheticCXRDataset(
+            len(test_ds), cfg.vision.image_size, cfg.text.max_length,
+            seed=101, tokenizer=tokenizer, leak_labels=False)
+
+    pipe = build_pipeline_from_args(args, cfg, tokenizer, train_ds)
 
     num = min(args.num_samples, len(test_ds))
     samples = []
