@@ -90,3 +90,22 @@ def test_multitask_trains(cfg, dataset, mesh_data):
     losses = [h["train_loss"] for h in trainer.history if "train_loss" in h]
     assert len(losses) == 2
     assert losses[-1] < losses[0]
+
+
+def test_multitask_classifier_reads_joint_features(cfg, batch):
+    """Regression pin (round 2): the observation classifier must read
+    the raw vision⊕text concat — NOT the shared aux trunk.  With the
+    classifier behind the trunk, aux-task gradients dominate the
+    bottleneck and observation F1 stays at chance ~3x longer than
+    baseline (measured macro-F1 0.076 vs 0.61 after the same budget)."""
+    model = MultiTaskExpert(cfg.vision, cfg.text, cfg.expert)
+    params = model.init(jax.random.key(0), batch["pixel_values"],
+                        batch["input_ids"],
+                        batch["attention_mask"])["params"]
+    joint_dim = (params["trunk"]["kernel"].shape[0])
+    cls_in = params["classifier"]["fc1"]["kernel"].shape[0]
+    trunk_out = params["trunk"]["kernel"].shape[1]
+    assert cls_in == joint_dim, (cls_in, joint_dim)
+    # guards against reverting to the trunk unless dims coincide
+    if trunk_out != joint_dim:
+        assert cls_in != trunk_out
