@@ -53,16 +53,27 @@ def make_lm_examples(contexts: list[str], reports: list[str],
 
 def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
                               max_length: int, seed: int = 0,
-                              regen_fraction: float = 0.5):
+                              regen_fraction: float = 0.5,
+                              obs_drop: float = 0.1,
+                              obs_add: float = 0.1):
     """LM examples in the *serving* prompt formats (pipeline/prompts.py):
 
     - stage-1: ``build_prompt(context, validated_obs)`` → report, with
       validated observations taken from the ground-truth labels (what
-      the expert injects at serving time);
+      the expert injects at serving time), each dropped w.p.
+      ``obs_drop`` and a spurious one added w.p. ``obs_add`` — the
+      serving-time expert's detections are NOISY (precision/recall
+      ~0.6-0.9 depending on context informativeness), and a decoder
+      trained only on perfect validated lines learns to ignore them
+      off-distribution (round-2 finding: leak-free pipeline obs-F1
+      stuck at 0.22 while the expert gate ran at 0.6);
     - regeneration: a draft missing 1-2 observation sentences +
       ``Retrieved Evidence`` passages (one covering the missing
       observations, optionally one distractor — serving retrieval is
       noisy) → the complete report (the RAG-iteration mode).
+
+    The TARGET stays the ground-truth report either way, so the
+    decoder learns "write the validated observations, robustly".
 
     ``metas``: dicts with clinical_context/report/labels.
     """
@@ -80,6 +91,13 @@ def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
         obs_names = [constants.OBSERVATION_NAMES[j]
                      for j in range(len(constants.OBSERVATION_NAMES))
                      if m["labels"][j] > 0.5]
+        # serving-noise-matched validated line
+        noisy_obs = [o for o in obs_names if rng.random() > obs_drop]
+        if rng.random() < obs_add:
+            extra = constants.OBSERVATION_NAMES[
+                int(rng.integers(len(constants.OBSERVATION_NAMES)))]
+            if extra not in noisy_obs:
+                noisy_obs.append(extra)
         regen = None
         if rng.random() < regen_fraction and len(metas) > 1:
             sents = [s for s in m["report"].split(". ") if s]
@@ -109,7 +127,7 @@ def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
                     regen = build_regeneration_prompt(draft, ev)
         prompts.append(regen if regen is not None
                        else build_prompt(m["clinical_context"],
-                                         obs_names))
+                                         noisy_obs))
         targets.append(m["report"])
     return make_lm_examples(prompts, targets, tokenizer, max_length)
 
