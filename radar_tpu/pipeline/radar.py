@@ -138,8 +138,7 @@ class RadarPipeline:
         sampling (seeded, advanced per call) for self-consistency
         verification — greedy otherwise.  ``banned_mask`` ([vocab]
         bool) enables constrained decoding (contribution 3.3)."""
-        max_len = self.config.decoder.max_length
-        max_prompt = max_len - self.config.rag.max_new_tokens - 1
+        max_prompt, max_new = self._prompt_budget()
         counter = [0]
         banned = None if banned_mask is None else jnp.asarray(banned_mask)
 
@@ -151,7 +150,7 @@ class RadarPipeline:
                 self.decoder, self.decoder_params,
                 jnp.asarray(ids)[None], jnp.asarray(mask)[None],
                 prefix_embedding=image_embedding, rng=rng,
-                max_new_tokens=self.config.rag.max_new_tokens,
+                max_new_tokens=max_new,
                 temperature=temperature, banned_mask=banned,
                 ring=self.ring)
             return self.tokenizer.decode(np.asarray(tokens)[0])
@@ -212,18 +211,34 @@ class RadarPipeline:
         return retrieval_fn
 
     # ------------------------------------------------------------------
+    def _prompt_budget(self) -> tuple[int, int]:
+        """(max_prompt_tokens, max_new_tokens) for decoder calls.
+
+        The prompt budget MIRRORS TRAINING: ``make_lm_examples`` gives
+        the context ``max_length // 2`` tokens and the report the rest.
+        The old serving computation (``max_len - max_new_tokens - 1``)
+        truncated tiny-preset prompts to 27 tokens — chopping off the
+        trailing "Validated observations: …\\nFindings:" line the
+        decoder is trained to follow, which silently severed the expert
+        stage from generation (round-2 leak-free failure: pipeline
+        obs-F1 0.21 while the expert gate ran at 0.6)."""
+        max_len = self.config.decoder.max_length
+        max_prompt = max_len // 2
+        max_new = min(self.config.rag.max_new_tokens,
+                      max_len - max_prompt)
+        return max_prompt, max_new
+
     def _batch_generate(self, contexts: list[str], image_embeddings,
                         banned_mask=None):
         """One batched decoder call over ragged prompt strings.
         ``banned_mask`` ([B, vocab] bool) applies per-row constrained
         decoding (contribution 3.3)."""
-        max_len = self.config.decoder.max_length
-        max_prompt = max_len - self.config.rag.max_new_tokens - 1
+        max_prompt, max_new = self._prompt_budget()
         ids, mask = self.tokenizer.encode_batch(contexts, max_prompt)
         tokens = generate(
             self.decoder, self.decoder_params, jnp.asarray(ids),
             jnp.asarray(mask), prefix_embedding=image_embeddings,
-            max_new_tokens=self.config.rag.max_new_tokens,
+            max_new_tokens=max_new,
             temperature=0.0,
             banned_mask=(None if banned_mask is None
                          else jnp.asarray(banned_mask)),
