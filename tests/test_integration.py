@@ -202,3 +202,32 @@ def test_pipeline_uncertainty_expert_path(cfg, dataset, tokenizer):
     assert out["uncertainty"] is not None
     assert out["uncertainty"].shape == (14,)
     assert isinstance(out["confident_observations"], dict)
+
+
+def test_serving_prompt_budget_preserves_validated_line(cfg, tokenizer):
+    """Round-2 regression pin: the serving prompt budget must equal LM
+    training's context budget (decoder.max_length // 2) and a typical
+    stage-1 prompt — context + validated-observations line — must fit
+    it un-truncated.  The old budget (max_len - max_new - 1 = 27 on
+    the tiny preset) chopped the validated line off every prompt and
+    silently severed the expert stage from generation."""
+    import numpy as np
+
+    from radar_tpu.data.synthetic import context_text
+    from radar_tpu.pipeline.prompts import build_prompt
+    from radar_tpu.pipeline.radar import RadarPipeline
+
+    budget = object.__new__(RadarPipeline)
+    budget.config = cfg
+    max_prompt, max_new = RadarPipeline._prompt_budget(budget)
+    assert max_prompt == cfg.decoder.max_length // 2
+    assert max_prompt + max_new <= cfg.decoder.max_length
+
+    labels = np.zeros(14, np.float32)
+    labels[[1, 9]] = 1.0
+    prompt = build_prompt(context_text(labels, leak_labels=False),
+                          ["Cardiomegaly", "Pleural Effusion"])
+    ids, mask = tokenizer.encode(prompt, max_prompt)
+    decoded = tokenizer.decode(np.asarray(ids))
+    assert "findings" in decoded.lower()          # trailing marker survives
+    assert "cardiomegaly" in decoded.lower()      # validated line survives
