@@ -300,30 +300,41 @@ class RadarPipeline:
                     for i in range(n)]
 
         for iteration in range(cfg.max_iterations - 1):
-            # host-side detection + targeted retrieval per active study
+            # pass 1 (host): plan every active study, collect queries
+            active, missings = [], {}
             for i in range(n):
                 if done[i]:
                     continue
-                gen = generations[i][-1]
                 done[i], missing, detected = self.rag.plan_iteration(
                     generations[i], cumulative[i], refs[i], expected[i])
                 cumulative[i] |= detected
-                if done[i]:
-                    continue
-                query = self.rag.retriever.build_retrieval_query(missing)
-                passages, scores = [], None
-                if self.dpr is not None and self.dpr.index.count:
-                    qob = q_obs[i:i + 1] if q_obs is not None else None
-                    hits = self.dpr.retrieve_for_text(query, cfg.top_k,
-                                                      qob)
-                    passages = [h["passage"] for h in hits]
-                    score_of = {h["passage"]: h["score"] for h in hits}
-                    if self._fusion_fwd is not None:
-                        passages, _ = self.filter_conflicting_passages(
-                            gen, passages)
-                    scores = [score_of.get(p, 0.0) for p in passages]
+                if not done[i]:
+                    active.append(i)
+                    missings[i] = missing
+            # pass 2 (device): ONE batched embed + index search for all
+            # active studies — per-study retrieval calls are host-RTT
+            # bound (~90 ms each through the relay)
+            hits_of: dict[int, list] = {i: [] for i in active}
+            if active and self.dpr is not None and self.dpr.index.count:
+                queries = [self.rag.retriever.build_retrieval_query(
+                    missings[i]) for i in active]
+                qob = (q_obs[np.asarray(active)]
+                       if q_obs is not None else None)
+                all_hits = self.dpr.retrieve_for_texts(
+                    queries, cfg.top_k, qob)
+                hits_of = dict(zip(active, all_hits))
+            # pass 3 (host + fusion): rank, filter, build prompts
+            for i in active:
+                gen = generations[i][-1]
+                hits = hits_of.get(i, [])
+                passages = [h["passage"] for h in hits]
+                score_of = {h["passage"]: h["score"] for h in hits}
+                if passages and self._fusion_fwd is not None:
+                    passages, _ = self.filter_conflicting_passages(
+                        gen, passages)
+                scores = [score_of.get(p, 0.0) for p in passages]
                 ranked = self.rag.retriever.rank_retrieved_passages(
-                    passages, missing, seen[i], scores)
+                    passages, missings[i], seen[i], scores)
                 seen[i].update(ranked)
                 retrieved[i].extend(ranked)
                 from .prompts import build_regeneration_prompt

@@ -59,6 +59,16 @@ class DensePassageRetrieval:
         scores, ids = self.index.search(q, k, query_observations)
         return self._format(scores[0], ids[0])
 
+    def retrieve_for_texts(self, texts: list[str], k: int | None = None,
+                           query_observations=None) -> list[list[dict]]:
+        """Batched text retrieval: ONE embedder forward + ONE index
+        search for all queries (the serving loop's per-iteration calls
+        are host-RTT-bound when issued per study)."""
+        q = self.embedder.embed_texts(texts)
+        scores, ids = self.index.search(q, k, query_observations)
+        return [self._format(scores[i], ids[i])
+                for i in range(len(texts))]
+
     def retrieve_for_image(self, image: np.ndarray, k: int | None = None,
                            query_observations=None) -> list[dict]:
         q = self.embedder.embed_images([image])
