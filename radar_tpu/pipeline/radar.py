@@ -313,16 +313,20 @@ class RadarPipeline:
                     missings[i] = missing
             # pass 2 (device): ONE batched embed + index search for all
             # active studies — per-study retrieval calls are host-RTT
-            # bound (~90 ms each through the relay)
+            # bound (~90 ms each through the relay).  The batch is
+            # PADDED to the full study count so the embed/search
+            # programs keep ONE static shape (a varying active-count
+            # would trigger a recompile per distinct count).
             hits_of: dict[int, list] = {i: [] for i in active}
             if active and self.dpr is not None and self.dpr.index.count:
-                queries = [self.rag.retriever.build_retrieval_query(
-                    missings[i]) for i in active]
-                qob = (q_obs[np.asarray(active)]
-                       if q_obs is not None else None)
+                queries = [
+                    (self.rag.retriever.build_retrieval_query(
+                        missings[i]) if i in missings and not done[i]
+                     else "padding")
+                    for i in range(n)]
                 all_hits = self.dpr.retrieve_for_texts(
-                    queries, cfg.top_k, qob)
-                hits_of = dict(zip(active, all_hits))
+                    queries, cfg.top_k, q_obs)
+                hits_of = {i: all_hits[i] for i in active}
             # pass 3 (host + fusion): rank, filter, build prompts
             for i in active:
                 gen = generations[i][-1]
