@@ -72,6 +72,21 @@ def load_model_params(model_type: str, ckpt_dir: str, cfg, sample_batch):
     return model, params
 
 
+def load_calibration(ckpt_dir: str | None):
+    """Per-class decision thresholds fitted on val at train time
+    (``calibration.json`` written by ``ExpertTrainer``), or None."""
+    import json
+
+    import numpy as np
+    if not ckpt_dir:
+        return None
+    path = os.path.join(ckpt_dir, "calibration.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        return np.asarray(json.load(f)["thresholds"], np.float32)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
@@ -108,7 +123,8 @@ def main(argv=None):
             evaluator.evaluate_uncertainty_model(
                 model_type, model, params, mc_samples=args.mc_samples)
         else:
-            evaluator.evaluate_model(model_type, model, params)
+            evaluator.evaluate_model(model_type, model, params,
+                                     thresholds=load_calibration(ckpt))
         logger.info("%s: macro_f1=%.4f", model_type,
                     evaluator.results[model_type]["macro_f1"])
 

@@ -83,6 +83,7 @@ class ExpertTrainer:
         self.resume_ckpt = (CheckpointManager(
             checkpoint_dir + "/resume", 2) if checkpoint_dir else None)
         self.history: list[dict] = []
+        self.calibration: dict | None = None
 
     # ------------------------------------------------------------------
     def _place_state(self, state):
@@ -201,6 +202,15 @@ class ExpertTrainer:
         # post-hoc calibration for the uncertainty variant
         if (self.model_type == "uncertainty" and val_batches is not None):
             state = self._calibrate(state, eval_step, val_batches)
+        elif val_batches is not None:
+            # universal per-class threshold calibration (round-3): every
+            # variant gets F1-optimal decision thresholds fitted on VAL
+            # (the reference reserves this for the uncertainty model;
+            # a fixed 0.5 costs rare observations their recall and was
+            # a big slice of the round-2 leak-free macro-F1 collapse).
+            # Stored beside the checkpoint, not inside the param tree,
+            # so restore templates stay unchanged.
+            self._calibrate_thresholds(state, eval_step, val_batches)
         return state
 
     # ------------------------------------------------------------------
@@ -231,6 +241,34 @@ class ExpertTrainer:
                                   params=state.params, tx=tx)
         state, _ = self._place_state(state)
         return state
+
+    # ------------------------------------------------------------------
+    def _calibrate_thresholds(self, state, eval_step, val_batches):
+        """Fit per-class F1-optimal thresholds on val for the BEST
+        checkpointed params and write ``calibration.json`` next to the
+        checkpoint (consumed by the evaluator and the serving
+        pipeline)."""
+        params = state.params
+        if self.ckpt and self.ckpt.latest_step() is not None:
+            # thresholds must match the params evaluation will load
+            params = self.ckpt.restore(jax.device_get(state.params))
+            if self.mesh is not None:
+                params = jax.device_put(
+                    params, jax.sharding.NamedSharding(
+                        self.mesh, jax.sharding.PartitionSpec()))
+        val = evaluate_classifier(eval_step, params, val_batches(),
+                                  self.mesh)
+        probs = jax.nn.sigmoid(jnp.asarray(val["_logits"]))
+        th = np.asarray(fit_thresholds(probs, jnp.asarray(val["_labels"])))
+        self.calibration = {"thresholds": th.tolist()}
+        if self.ckpt:
+            import json
+            import os
+            path = os.path.join(self.ckpt.directory, "calibration.json")
+            with open(path, "w") as f:
+                json.dump(self.calibration, f)
+            logger.info("wrote per-class thresholds -> %s", path)
+        return th
 
     # ------------------------------------------------------------------
     def _calibrate(self, state, eval_step, val_batches):

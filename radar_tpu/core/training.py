@@ -88,15 +88,26 @@ def contrastive_pretrain_loss_fn(expert_config: ExpertConfig,
                                  augment: bool = True):
     """Contrastive pretrain objective; with ``augment``, the image side
     is a random augmented view per step (the reference's
-    ``MultiViewAugmentation`` role, on-device — see data/augment.py)."""
+    ``MultiViewAugmentation`` role, on-device — see data/augment.py).
+
+    The text side is the REPORT (``report_ids``) when the batch carries
+    it, falling back to the clinical context: the report always
+    describes the ground-truth findings, while the context is generic
+    in (1 - leak_fraction) of leak-robust training samples — pairing
+    the image with the report is what forces the image pathway
+    (round-2 leak-free failure: context-paired contrastive pretraining
+    had nothing label-bearing to align to, macro-F1 0.45 leak-free).
+    """
     def fn(model, params, batch, rng):
         pixels = batch["pixel_values"]
         if augment:
             from ..data.augment import augment_batch
             pixels = augment_batch(jax.random.fold_in(rng, 17), pixels)
+        text_ids = batch.get("report_ids", batch["input_ids"])
+        text_mask = batch.get("report_mask", batch["attention_mask"])
         img, txt, scale = model.apply(
-            {"params": params}, pixels, batch["input_ids"],
-            batch["attention_mask"], deterministic=False,
+            {"params": params}, pixels, text_ids,
+            text_mask, deterministic=False,
             rngs={"dropout": rng}, method=model.contrastive_forward)
         loss, parts = L.contrastive_loss(img, txt, scale, batch["labels"],
                                          expert_config)

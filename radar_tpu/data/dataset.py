@@ -198,11 +198,15 @@ class ExpertModelDataset:
         context_text = construct_clinical_context(context)
         ids, mask = self.tokenizer.encode(context_text,
                                           self.max_text_length)
+        rids, rmask = self.tokenizer.encode(sample["report"],
+                                            self.max_text_length)
         return {
             "id": sample["id"],
             "image": self._load_image(sample["image_path"]),
             "input_ids": ids,
             "attention_mask": mask,
+            "report_ids": rids,
+            "report_mask": rmask,
             "labels": labels_from_observations(sample["observations"]),
             "report": sample["report"],
             "clinical_context": context_text,
@@ -237,6 +241,9 @@ class ExpertModelDataset:
                 "input_ids": np.stack([i["input_ids"] for i in items]),
                 "attention_mask": np.stack(
                     [i["attention_mask"] for i in items]),
+                "report_ids": np.stack([i["report_ids"] for i in items]),
+                "report_mask": np.stack(
+                    [i["report_mask"] for i in items]),
                 "labels": np.stack([i["labels"] for i in items]),
             }
             yield batch

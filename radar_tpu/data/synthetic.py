@@ -125,6 +125,13 @@ class SyntheticCXRDataset:
                          for i, r in enumerate(self.labels)]
         ids, mask = self.tokenizer.encode_batch(self.contexts, max_length)
         self.input_ids, self.attention_mask = ids, mask
+        # report tokens for image<->report contrastive objectives: the
+        # report always describes the labels, while the context is
+        # generic in (1 - leak_fraction) of samples — aligning image
+        # embeddings to the REPORT is what teaches the image pathway
+        # (round-3: leak-free contrastive/embedder fix)
+        rids, rmask = self.tokenizer.encode_batch(self.reports, max_length)
+        self.report_ids, self.report_mask = rids, rmask
 
     def __len__(self) -> int:
         return self.size
@@ -183,6 +190,8 @@ class SyntheticCXRDataset:
                 "input_ids": self.input_ids[idx],
                 "attention_mask": self.attention_mask[idx],
                 "labels": self.labels[idx],
+                "report_ids": self.report_ids[idx],
+                "report_mask": self.report_mask[idx],
             }
 
 

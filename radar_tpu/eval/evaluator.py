@@ -75,11 +75,17 @@ class ModelEvaluator:
             labels.append(np.asarray(batch["labels"]))
         return np.concatenate(logits), np.concatenate(labels)
 
-    def evaluate_model(self, name: str, model, params) -> dict:
+    def evaluate_model(self, name: str, model, params,
+                       thresholds=None) -> dict:
+        """``thresholds``: per-class decision thresholds (e.g. from the
+        trainer's val-fitted ``calibration.json``); falls back to the
+        in-params thresholds (uncertainty variant) then 0.5."""
         logits, labels = self._collect_logits(model, params)
-        thresholds = 0.5
-        if "thresholds" in params:
-            thresholds = np.asarray(params["thresholds"])
+        if thresholds is None:
+            thresholds = (np.asarray(params["thresholds"])
+                          if "thresholds" in params else 0.5)
+        else:
+            thresholds = np.asarray(thresholds)
         res = compute_all_metrics(logits, labels, thresholds)
         self.results[name] = res
         return res
