@@ -30,7 +30,7 @@ from ..pipeline.radar import RadarPipeline
 from ..retrieval.dpr import create_dpr_model
 from .common import (add_common_args, make_tokenizer, add_data_args, build_datasets,
                      load_config)
-from .evaluate_expert_models import load_model_params
+from .evaluate_expert_models import load_calibration, load_model_params
 from .evaluate_retrieval_system import _normalized_image
 
 logger = get_logger("radar_tpu.eval_pipeline")
@@ -117,7 +117,9 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
 
     return RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
                          decoder, decoder_params, fusion_module,
-                         fusion_params)
+                         fusion_params,
+                         expert_thresholds=load_calibration(
+                             args.expert_checkpoint))
 
 
 def main(argv=None):

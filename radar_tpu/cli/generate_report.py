@@ -90,8 +90,11 @@ def main(argv=None):
             dec_ckpt, {"params": jax.device_get(decoder_params)})["params"]
         logger.info("restored decoder from %s", dec_ckpt)
 
+    from .evaluate_expert_models import load_calibration
     pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
-                         decoder, decoder_params)
+                         decoder, decoder_params,
+                         expert_thresholds=load_calibration(
+                             args.expert_checkpoint))
 
     from ..data.dataset import preprocess_images
 

@@ -144,6 +144,16 @@ def main(argv=None):
                             np.float32)
         emb_ckpt = os.path.join(args.output_dir, "embedder")
         if os.path.isdir(emb_ckpt):
+            # train/serve prefix parity: serving feeds the FULL
+            # embedding as the decoder prefix, so a dim mismatch would
+            # silently train on a truncated (or broadcast-broken)
+            # distribution (ADVICE r2)
+            if cfg.retrieval.embedding_dim != cfg.decoder.prefix_dim:
+                raise SystemExit(
+                    f"retrieval.embedding_dim "
+                    f"({cfg.retrieval.embedding_dim}) must equal "
+                    f"decoder.prefix_dim ({cfg.decoder.prefix_dim}) "
+                    f"for LM prefix train/serve parity")
             from ..core.checkpoint import load_params
             from ..retrieval.embedder import JittedEmbedder
             embedder = JittedEmbedder.create(cfg.vision, cfg.text,

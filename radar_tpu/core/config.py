@@ -216,6 +216,13 @@ class RAGConfig(ConfigBase):
     max_new_tokens: int = 100
     num_verification_samples: int = 3
     evidence_passages: int = 2    # passages appended to context per iter
+    # image-neighbour corroboration (round-3): observations voted by
+    # >= min_votes of the top_m visually-nearest indexed reports, with
+    # expert prob in (prob_floor, threshold], join the loop's expected
+    # set. 0 disables.
+    corroborate_top_m: int = 5
+    corroborate_min_votes: int = 3
+    corroborate_prob_floor: float = 0.15
 
 
 @dataclass(frozen=True)

@@ -32,6 +32,10 @@ class Tokenizer:
         self.vocab = dict(vocab)
         self.inv = {i: w for w, i in self.vocab.items()}
 
+    @property
+    def special_token_ids(self) -> tuple[int, ...]:
+        return (PAD, CLS, SEP, UNK)
+
     # -- construction -----------------------------------------------------
     @classmethod
     def from_corpus(cls, texts: list[str], vocab_size: int = 8192
@@ -116,6 +120,10 @@ class HFTokenizerAdapter:
     @property
     def vocab_size(self) -> int:
         return len(self.hf)
+
+    @property
+    def special_token_ids(self) -> tuple[int, ...]:
+        return tuple(int(i) for i in self.hf.all_special_ids)
 
     def encode(self, text: str, max_length: int = 128):
         out = self.hf(text, padding="max_length", truncation=True,

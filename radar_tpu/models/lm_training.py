@@ -124,7 +124,12 @@ def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
                         other = int(rng.integers(len(metas)))
                         if other != i:
                             ev.append(metas[other]["report"])
-                    regen = build_regeneration_prompt(draft, ev)
+                    # regeneration prompts carry the validated line too
+                    # (mirrors serving: the loop re-states expected
+                    # observations so later decodes stay anchored to
+                    # the expert stage)
+                    regen = build_regeneration_prompt(draft, ev,
+                                                      noisy_obs)
         prompts.append(regen if regen is not None
                        else build_prompt(m["clinical_context"],
                                          noisy_obs))

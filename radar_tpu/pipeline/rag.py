@@ -156,6 +156,7 @@ class IterativeRAG:
             generations.append(generation_function(initial_findings))
 
         from .prompts import build_regeneration_prompt
+        last_context = initial_findings
         while True:
             done, missing, detected = self.plan_iteration(
                 generations, state.cumulative_observations,
@@ -174,8 +175,12 @@ class IterativeRAG:
             ranked = self.retriever.rank_retrieved_passages(
                 passages, missing, state.seen_passages, scores)
             state.update(query, ranked, detected)
+            # the regeneration prompt re-states the validated set so
+            # later decodes stay anchored to the expert stage
             context = build_regeneration_prompt(
-                generations[-1], ranked[: cfg.evidence_passages])
+                generations[-1], ranked[: cfg.evidence_passages],
+                expected)
+            last_context = context
             generations.append(generation_function(context))
 
         if reference_text:
@@ -197,6 +202,10 @@ class IterativeRAG:
             "expected_observations": sorted(expected),
             "retrieved_passages": state.retrieved_passages,
             "queries": state.queries,
+            # the prompt that produced the LAST generation — constrained
+            # regeneration restarts from here so retrieval evidence
+            # accrued over iterations is not discarded (ADVICE r2)
+            "last_context": last_context,
         }
 
     # ------------------------------------------------------------------

@@ -171,4 +171,7 @@ def test_prompt_contract():
                  "Validated observations: Cardiomegaly, Edema\nFindings:")
     assert build_prompt("ctx") == "Clinical context: ctx\nFindings:"
     r = build_regeneration_prompt("draft text", ["ev1", "ev2"])
-    assert r == "draft text\n\nRetrieved Evidence:\nev1\nev2"
+    assert r == "draft text\n\nRetrieved Evidence:\nev1\nev2\nFindings:"
+    r = build_regeneration_prompt("draft text", ["ev1"], {"Edema"})
+    assert r == ("draft text\n\nRetrieved Evidence:\nev1\n"
+                 "Validated observations: Edema\nFindings:")

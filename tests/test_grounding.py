@@ -34,6 +34,24 @@ def test_entity_verification():
     assert out2["factual_consistency"] == 1.0
 
 
+def test_verify_dedupes_aliases_and_reports_uncertain():
+    """One textual mention must grade ONE canonical entity (the
+    detector yields both 'Edema' and 'Pulmonary Edema' for 'pulmonary
+    edema'), and uncertain verdicts are reported separately instead of
+    inflating the supported count (ADVICE r2)."""
+    v = GroundingVerifier()
+    probs = _probs(edema=0.9, atelectasis=0.25)
+    out = v.verify("There is pulmonary edema. Possible atelectasis.",
+                   probs)
+    names = [e["entity"] for e in out["entities"]]
+    assert names.count("Edema") == 1
+    assert "Pulmonary Edema" not in names
+    assert out["num_uncertain"] == 1
+    # 1 supported / (2 gradeable - 1 uncertain) hard-graded mentions
+    assert out["factual_consistency"] == 1.0
+    assert out["num_entities"] == 2
+
+
 def test_sentence_scrub():
     v = GroundingVerifier()
     text = ("Cardiomegaly is present. There is a moderate pneumothorax. "
@@ -106,6 +124,12 @@ def test_pipeline_grounding_hook(cfg, tokenizer):
             def fn(context):
                 if banned_mask is not None:
                     self.constrained_calls.append(context)
+                    # a token mask can slip through shared words: the
+                    # FIRST constrained decode still hallucinates, so
+                    # the post-hoc repair pass must catch it
+                    if len(self.constrained_calls) == 1:
+                        return ("Cardiomegaly is present. There is a "
+                                "large pneumothorax.")
                     return "Cardiomegaly is present."
                 return ("Cardiomegaly is present. There is a large "
                         "pneumothorax.")
@@ -122,7 +146,10 @@ def test_pipeline_grounding_hook(cfg, tokenizer):
     assert g["hallucinated"] == ["Pneumothorax"]
     assert "pneumothorax" not in out["report"].lower()
     assert g["post_constrained"]["factual_consistency"] == 1.0
-    assert pipe.constrained_calls, "constrained regeneration did not run"
+    # first-pass constrained decoding means stage 1 ALREADY runs with a
+    # banned mask (round 3), plus the repair regeneration
+    assert len(pipe.constrained_calls) >= 2, \
+        "expected constrained stage-1 decode AND repair regeneration"
     # without grounding the hallucination stays
     out2 = pipe.generate_report(np.zeros((8, 8, 3), np.float32),
                                 "Indication: dyspnea")
@@ -147,6 +174,12 @@ def test_batch_grounding_matches_single(cfg, tokenizer):
                             banned_mask=None):
             if banned_mask is not None:
                 self.banned_calls.append(np.asarray(banned_mask))
+                # the first constrained (stage-1) decode still slips a
+                # hallucination through on row 0; repair catches it
+                if len(self.banned_calls) == 1:
+                    return ["Cardiomegaly is present. There is a large "
+                            "pneumothorax.",
+                            "Cardiomegaly is present."][: len(contexts)]
                 return ["Cardiomegaly is present."] * len(contexts)
             return ["Cardiomegaly is present. There is a large "
                     "pneumothorax.",
@@ -166,7 +199,10 @@ def test_batch_grounding_matches_single(cfg, tokenizer):
     # clean row: verified but untouched
     assert outs[1]["grounding"]["hallucinated"] == []
     assert "unconstrained_report" not in outs[1]["grounding"]
-    # one constrained batched call, row-0 mask non-empty, row-1 empty
-    assert len(pipe.banned_calls) == 1
-    m = pipe.banned_calls[0]
-    assert m.shape[0] == 2 and m[0].any() and not m[1].any()
+    # round 3: the FIRST pass is already constrained (both rows have
+    # expert-refuted entities -> non-empty masks), then one repair call
+    assert len(pipe.banned_calls) == 2
+    first, repair = pipe.banned_calls
+    assert first.shape[0] == 2 and first[0].any() and first[1].any()
+    # the repair mask only grows (first-pass bans stay in force)
+    assert (repair[0] | first[0]).sum() == repair[0].sum()
