@@ -44,6 +44,15 @@ def build_parser():
                         default="./checkpoints/temporal")
     parser.add_argument("--output_path", type=str,
                         default="./results/temporal_evaluation.json")
+    # change-enriched pair sampling (VERDICT r2 #3: at the natural
+    # rates ~90% of cells are Stable and the change classes starve)
+    parser.add_argument("--positive_rate", type=float, default=0.25)
+    parser.add_argument("--improve_rate", type=float, default=0.35)
+    parser.add_argument("--worsen_rate", type=float, default=0.12)
+    parser.add_argument("--eval_natural_rates", action="store_true",
+                        help="Also evaluate on pairs at the NATURAL "
+                             "transition rates (0.18/0.3/0.06) and "
+                             "report both blocks")
     add_data_args(parser)   # longitudinal pairs are synthetic-only for
     add_common_args(parser)  # now; real data needs prior-study pairing
     return parser
@@ -100,10 +109,14 @@ def main(argv=None):
     cfg = cfg.override(**{"train.num_epochs": args.epochs})
     mesh = make_mesh(args, cfg.train.batch_size)
     size = args.synthetic_size
+    rates = dict(positive_rate=args.positive_rate,
+                 improve_rate=args.improve_rate,
+                 worsen_rate=args.worsen_rate)
     train_ds = SyntheticLongitudinalDataset(
-        size, cfg.vision.image_size, seed=cfg.train.seed)
+        size, cfg.vision.image_size, seed=cfg.train.seed, **rates)
     val_ds = SyntheticLongitudinalDataset(
-        max(size // 4, 16), cfg.vision.image_size, seed=cfg.train.seed + 1)
+        max(size // 4, 16), cfg.vision.image_size,
+        seed=cfg.train.seed + 1, **rates)
 
     dtype = compute_dtype(cfg.train)
     model = TemporalComparator(cfg.vision, cfg.expert, dtype=dtype,
@@ -143,6 +156,7 @@ def main(argv=None):
 
     val = evaluate_progression(model, state.params,
                                val_ds.batches(cfg.train.eval_batch_size))
+    val["pair_rates"] = rates
     ckpt.save(int(jax.device_get(state.step)),
               jax.device_get(state.params),
               metrics={"progression_macro_f1":
@@ -150,6 +164,16 @@ def main(argv=None):
     results = {"history": history, "validation": val,
                "measured": True, "timestamp": int(time.time()),
                "config": "tiny" if args.tiny else "default"}
+    if args.eval_natural_rates:
+        nat_ds = SyntheticLongitudinalDataset(
+            max(size // 4, 16), cfg.vision.image_size,
+            seed=cfg.train.seed + 2)
+        nat = evaluate_progression(
+            model, state.params,
+            nat_ds.batches(cfg.train.eval_batch_size))
+        nat["pair_rates"] = dict(positive_rate=0.18, improve_rate=0.3,
+                                 worsen_rate=0.06)
+        results["validation_natural_rates"] = nat
     os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
                 exist_ok=True)
     with open(args.output_path, "w") as f:

@@ -206,12 +206,16 @@ class SyntheticLongitudinalDataset:
 
     def __init__(self, size: int, image_size: int = 64, seed: int = 0,
                  improve_rate: float = 0.3, worsen_rate: float = 0.06,
-                 noise: float = 0.35):
+                 noise: float = 0.35, positive_rate: float = 0.18):
+        """``improve_rate``/``worsen_rate``/``positive_rate`` control
+        change enrichment: at the defaults ~90% of (pair, observation)
+        cells are Stable, so train/eval with raised rates for balanced
+        sampling (VERDICT r2 #3)."""
         self.size = size
         self.image_size = image_size
         self.noise = noise
         rng = np.random.default_rng(seed)
-        self.prior_labels = sample_labels(rng, size)
+        self.prior_labels = sample_labels(rng, size, positive_rate)
         cur = self.prior_labels.copy()
         improve = rng.random(cur.shape) < improve_rate
         worsen = rng.random(cur.shape) < worsen_rate

@@ -26,18 +26,31 @@ logger = get_logger("radar_tpu.retrieval_eval")
 # --------------------------------------------------------------------------
 
 
+RELEVANCE_DEFINITION = ("jaccard>=0.5 over pathology label sets "
+                        "(both-all-negative pairs count as relevant)")
+
+
 def relevance_sets(query_labels: np.ndarray,
                    passage_labels: np.ndarray,
-                   min_overlap: int = 1) -> list[set[int]]:
-    """Relevant passages for each query = those sharing >= min_overlap
-    positive observations (excluding 'No Finding'-only matches)."""
-    q = query_labels[:, :13]  # ignore "No Finding" for overlap
-    p = passage_labels[:, :13]
+                   min_jaccard: float = 0.5) -> list[set[int]]:
+    """Relevant passages for each query = label-set Jaccard similarity
+    >= ``min_jaccard`` over the 13 pathology observations.
+
+    Round-2 used any-overlap relevance, which made ~1,900 of 5,120
+    passages "relevant" per query and recall@5 vacuous (VERDICT r2
+    weak #9); Jaccard relevance keeps the relevant set proportional to
+    how specific the query's finding combination is.  Two all-negative
+    studies (No Finding) are mutually relevant.
+    """
+    q = query_labels[:, :13].astype(np.float32)
+    p = passage_labels[:, :13].astype(np.float32)
     inter = q @ p.T
-    out = []
-    for row in inter:
-        out.append({int(i) for i in np.nonzero(row >= min_overlap)[0]})
-    return out
+    qs = q.sum(axis=1, keepdims=True)
+    ps = p.sum(axis=1, keepdims=True).T
+    union = qs + ps - inter
+    jac = inter / np.maximum(union, 1e-8)
+    rel = (jac >= min_jaccard) | ((qs == 0) & (ps == 0))
+    return [{int(i) for i in np.nonzero(row)[0]} for row in rel]
 
 
 class DPREvaluator:
@@ -60,6 +73,9 @@ class DPREvaluator:
         report = M.retrieval_report(retrieved, relevant, ks)
         report["num_queries"] = len(query_texts)
         report["num_passages"] = int(self.dpr.index.count)
+        report["relevance"] = RELEVANCE_DEFINITION
+        report["mean_relevant_per_query"] = float(
+            np.mean([len(r) for r in relevant]))
 
         if query_images is not None:
             qi_emb = self.dpr.embedder.embed_images(query_images)

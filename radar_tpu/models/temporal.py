@@ -63,11 +63,29 @@ class TemporalComparator(nn.Module):
             dropout_rate=cfg.dropout_rate, dtype=self.dtype,
             name="temporal_attn")
         self.attn_norm = nn.LayerNorm(dtype=self.dtype, name="attn_norm")
-        self.diff_proj = nn.Dense(cfg.hidden_size, dtype=self.dtype,
-                                  name="diff_proj")
-        self.progression_head = nn.DenseGeneral(
-            (cfg.num_observations, len(PROGRESSION_LEVELS)), axis=-1,
-            dtype=self.dtype, name="progression_head")
+        # Per-observation node projection, SHARED between the current
+        # and prior pathways so per-node features are directly
+        # comparable.  (Round-2 failure: a single global pooled-diff
+        # vector washed out per-observation change — the blob for one
+        # observation appearing/disappearing is a per-node signal; same
+        # fix that made the GNN expert converge, models/experts.py.)
+        self.node_proj = nn.DenseGeneral(
+            (cfg.num_observations, cfg.gat_hidden), axis=-1,
+            dtype=self.dtype, name="node_proj")
+        self.aligned_proj = nn.DenseGeneral(
+            (cfg.num_observations, cfg.gat_hidden), axis=-1,
+            dtype=self.dtype, name="aligned_proj")
+        self.node_norm = nn.LayerNorm(dtype=self.dtype, name="node_norm")
+        self.change_mlp = nn.Dense(cfg.gat_hidden, dtype=self.dtype,
+                                   name="change_mlp")
+        self.progression_head = nn.Dense(
+            len(PROGRESSION_LEVELS), dtype=self.dtype,
+            name="progression_head")
+        # auxiliary per-node presence head (one, siamese): supervising
+        # presence on BOTH studies shapes the node features progression
+        # is computed from
+        self.presence_head = nn.Dense(1, dtype=self.dtype,
+                                      name="presence_head")
 
     def __call__(self, current_pixels, prior_pixels, *,
                  deterministic: bool = True) -> dict:
@@ -76,7 +94,9 @@ class TemporalComparator(nn.Module):
         The tower is applied twice with SHARED weights (siamese);
         current tokens cross-attend to prior tokens, so each patch of
         the current study sees the matching anatomy of the prior one
-        regardless of positioning differences.
+        regardless of positioning differences.  Per-observation node
+        features from both studies feed a per-node change MLP and a
+        3-class progression head.
         """
         cur = self.vision(current_pixels, deterministic=deterministic)
         pri = self.vision(prior_pixels, deterministic=deterministic)
@@ -90,27 +110,38 @@ class TemporalComparator(nn.Module):
         cur_pooled = cur["pooler_output"]
         pri_pooled = pri["pooler_output"]
 
-        # difference feature extraction: raw delta + gated product +
-        # the temporally-aligned prior view
+        cur_nodes = self.node_norm(self.node_proj(cur_pooled))
+        pri_nodes = self.node_norm(self.node_proj(pri_pooled))
+        ali_nodes = self.aligned_proj(aligned_pooled)   # [B, N, D]
+
         feats = jnp.concatenate([
-            cur_pooled - pri_pooled,
-            cur_pooled * pri_pooled,
-            cur_pooled - aligned_pooled,
-        ], axis=-1)
-        change = nn.gelu(self.diff_proj(feats))      # [B, hidden]
+            cur_nodes, pri_nodes,
+            cur_nodes - pri_nodes,
+            cur_nodes * pri_nodes,
+            ali_nodes,
+        ], axis=-1)                                  # [B, N, 5D]
+        change = nn.gelu(self.change_mlp(feats))     # [B, N, D]
         logits = self.progression_head(change).astype(jnp.float32)
         return {
             "progression_logits": logits,            # [B, 14, 3]
-            "change_features": change,
+            "current_presence_logits": self.presence_head(
+                cur_nodes)[..., 0].astype(jnp.float32),   # [B, 14]
+            "prior_presence_logits": self.presence_head(
+                pri_nodes)[..., 0].astype(jnp.float32),
+            "change_features": jnp.mean(change, axis=1),
             "current_pooled": cur_pooled,
             "prior_pooled": pri_pooled,
         }
 
 
 def temporal_loss_fn(expert_config: ExpertConfig,
-                     class_weights=(3.0, 1.0, 3.0)):
-    """Per-observation 3-class CE, with Improved/Worsened up-weighted
-    (longitudinal data is overwhelmingly Stable)."""
+                     class_weights=(6.0, 1.0, 6.0),
+                     presence_weight: float = 0.5):
+    """Per-observation 3-class CE with Improved/Worsened up-weighted
+    (longitudinal data is overwhelmingly Stable; ~9:1 at default
+    transition rates) + auxiliary per-node presence BCE on BOTH
+    studies, which shapes the node features the change head reads."""
+    import optax
     w = jnp.asarray(class_weights, jnp.float32)
 
     def fn(model, params, batch, rng):
@@ -125,9 +156,19 @@ def temporal_loss_fn(expert_config: ExpertConfig,
         ce = -jnp.sum(one_hot * logp, axis=-1)       # [B, N]
         weights = w[targets]
         loss = jnp.sum(ce * weights) / jnp.maximum(jnp.sum(weights), 1e-8)
+        presence = 0.5 * (
+            jnp.mean(optax.sigmoid_binary_cross_entropy(
+                out["current_presence_logits"],
+                jnp.asarray(batch["labels"], jnp.float32)))
+            + jnp.mean(optax.sigmoid_binary_cross_entropy(
+                out["prior_presence_logits"],
+                jnp.asarray(batch["prior_labels"], jnp.float32))))
+        total = loss + presence_weight * presence
         acc = jnp.mean((jnp.argmax(logits, -1) == targets)
                        .astype(jnp.float32))
-        return loss, {"loss": loss, "progression_accuracy": acc}
+        return total, {"loss": total, "progression_ce": loss,
+                       "presence_bce": presence,
+                       "progression_accuracy": acc}
     return fn
 
 
