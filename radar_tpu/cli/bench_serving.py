@@ -41,6 +41,9 @@ def build_parser():
     parser.add_argument("--serve_batch", type=int, default=16)
     parser.add_argument("--num_batches", type=int, default=4)
     parser.add_argument("--grounding", action="store_true")
+    parser.add_argument("--context_parallel", type=int, default=0,
+                        help="N > 1: ring-attention decoder prefills "
+                             "sequence-sharded over N devices")
     parser.add_argument("--output", type=str,
                         default="results/serving_throughput.json")
     add_data_args(parser)

@@ -65,6 +65,10 @@ def build_parser():
                              "indication instead of the ground-truth "
                              "observation names (no label leakage "
                              "through the prompt)")
+    parser.add_argument("--context_parallel", type=int, default=0,
+                        help="N > 1: run decoder prefills with ring "
+                             "attention sequence-sharded over N devices "
+                             "(context parallelism; needs N devices)")
     parser.add_argument("--output_path", type=str,
                         default="./results/pipeline_evaluation.json")
     add_data_args(parser)
@@ -115,9 +119,22 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
         fusion_params = load_params(
             fus_ckpt, {"params": jax.device_get(fusion_params)})["params"]
 
+    # context-parallel serving knob: sequence-shard decoder prefills
+    # over a ring of devices (long retrieved-evidence prompts)
+    ring = None
+    n_cp = getattr(args, "context_parallel", 0) or 0
+    if n_cp > 1:
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < n_cp:
+            raise SystemExit(f"--context_parallel {n_cp} needs {n_cp} "
+                             f"devices, have {len(devs)}")
+        ring = (Mesh(np.asarray(devs[:n_cp]), ("seq",)), "seq")
+        logger.info("context parallelism: ring of %d devices", n_cp)
+
     return RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
                          decoder, decoder_params, fusion_module,
-                         fusion_params,
+                         fusion_params, ring=ring,
                          expert_thresholds=load_calibration(
                              args.expert_checkpoint))
 

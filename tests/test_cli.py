@@ -161,6 +161,19 @@ def test_evaluate_pipeline_cli(tmp_path):
     assert r["mode"] == "blind"
 
 
+def test_evaluate_pipeline_cli_context_parallel(tmp_path):
+    """--context_parallel N builds RadarPipeline(ring=...) and the
+    pipeline still evaluates end-to-end (CP is a serving knob now, not
+    a tests-only capability)."""
+    from radar_tpu.cli.evaluate_pipeline import main
+    r = main(["--synthetic", "--tiny", "--synthetic_size", "32",
+              "--num_samples", "2", "--passages", "16",
+              "--context_parallel", "2",
+              "--retrieval_checkpoint", str(tmp_path / "none"),
+              "--output_path", str(tmp_path / "pe_cp.json")])
+    assert np.isfinite(r["bleu_4"])
+
+
 def test_prompt_contract():
     """Training and serving share these exact strings; changing them
     requires retraining deployed decoders — keep the contract pinned."""
