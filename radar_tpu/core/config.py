@@ -117,6 +117,12 @@ class VisionConfig(ConfigBase):
     channels: int = 3
     arch: str = "vit"  # "vit" | "swinv2"
     quant: str = "none"  # "none" | "int8" (W8A8 serving, ops/quant.py)
+    # pad the token sequence up to this length with masked tokens
+    # (0 = off).  ViT-B/16 at 224px gives S=197 — a poor MXU lane count
+    # (pads to 256 inside every attention matmul tile with 23% waste);
+    # explicit padding to 256 with a fused key mask reclaims it while
+    # keeping outputs exact (padded rows never pool).
+    seq_pad_to: int = 0
     # swinv2-only: per-stage depths/heads + attention window
     depths: tuple[int, ...] = (2, 2, 6, 2)
     stage_heads: tuple[int, ...] = ()   # () -> num_heads * 2**stage

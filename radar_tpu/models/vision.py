@@ -50,12 +50,24 @@ class VisionTransformer(nn.Module):
         x = x + pos.astype(self.dtype)
         x = nn.Dropout(cfg.dropout_rate)(x, deterministic=deterministic)
 
+        # MXU-friendly sequence padding: extend S to seq_pad_to with
+        # zero tokens masked out of every attention softmax — exact
+        # outputs, better lane tiling (e.g. 197 -> 256 for ViT-B/16)
+        mask = None
+        if cfg.seq_pad_to > n:
+            pad = cfg.seq_pad_to - n
+            x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+            mask = jnp.zeros((b, cfg.seq_pad_to), jnp.int32
+                             ).at[:, :n].set(1)
+
         hidden = TransformerEncoder(
             depth=cfg.depth, num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio, dropout_rate=cfg.dropout_rate,
             dtype=self.dtype, remat=self.remat,
             quant=cfg.quant, name="encoder")(
-            x, deterministic=deterministic)
+            x, mask, deterministic=deterministic)
+        if cfg.seq_pad_to > n:
+            hidden = hidden[:, :n]
 
         pooled = pool_tokens(hidden, cfg.pool)
         pooled = nn.tanh(nn.Dense(cfg.hidden_size, dtype=self.dtype,

@@ -203,3 +203,33 @@ def test_train_step_is_deterministic(cfg, batch):
         return {"params": s.params, "loss": m["loss"]}
 
     assert check_determinism(run)
+
+
+def test_vision_seq_padding_exact(cfg):
+    """seq_pad_to pads the token sequence with masked tokens for MXU
+    lane tiling; outputs must be EXACT vs the unpadded tower (same
+    params — no new parameters are introduced)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from radar_tpu.models.vision import VisionTransformer
+    vcfg = cfg.vision
+    padded_cfg = dataclasses.replace(vcfg, seq_pad_to=24)
+    base = VisionTransformer(vcfg)
+    padded = VisionTransformer(padded_cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        0.5, 0.3, (2, vcfg.image_size, vcfg.image_size, 3)), jnp.float32)
+    params = base.init(jax.random.key(0), x)["params"]
+    out_b = base.apply({"params": params}, x)
+    out_p = padded.apply({"params": params}, x)
+    assert out_p["last_hidden_state"].shape == \
+        out_b["last_hidden_state"].shape
+    np.testing.assert_allclose(np.asarray(out_p["pooler_output"]),
+                               np.asarray(out_b["pooler_output"]),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out_p["last_hidden_state"]),
+                               np.asarray(out_b["last_hidden_state"]),
+                               rtol=2e-5, atol=2e-5)
