@@ -9,6 +9,16 @@ Public surface (lazily imported to keep `import radar_tpu` light):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("RADAR_PLATFORM"):
+    # Force a JAX platform at import (e.g. RADAR_PLATFORM=cpu to run
+    # CLIs on the host while the TPU is busy, or under the axon relay
+    # where the JAX_PLATFORMS env var is overridden by sitecustomize —
+    # see .claude/skills/verify/SKILL.md).
+    import jax as _jax
+    _jax.config.update("jax_platforms", _os.environ["RADAR_PLATFORM"])
+
 _EXPORTS = {
     "RadarConfig": "radar_tpu.core.config",
     "tiny_config": "radar_tpu.core.config",

@@ -80,19 +80,31 @@ class Tokenizer:
     def vocab_size(self) -> int:
         return len(self.vocab)
 
-    def encode(self, text: str, max_length: int = 128
-               ) -> tuple[np.ndarray, np.ndarray]:
-        ids = [CLS] + [self.vocab.get(w, UNK) for w in _tokenize(text)]
-        ids = ids[: max_length - 1] + [SEP]
+    def encode(self, text: str, max_length: int = 128,
+               truncate: str = "right") -> tuple[np.ndarray, np.ndarray]:
+        """``truncate="left"`` keeps the LAST tokens when the text
+        overflows — decoder prompts end with the instruction-critical
+        tail (validated-observation line + "Findings:" marker), so
+        prompts must drop the head, not the tail (round-2's hidden bug
+        was exactly a tail truncation severing the expert stage from
+        generation)."""
+        words = [self.vocab.get(w, UNK) for w in _tokenize(text)]
+        budget = max_length - 2          # room for [CLS] and [SEP]
+        if truncate == "left":
+            words = words[-budget:]
+        else:
+            words = words[:budget]
+        ids = [CLS] + words + [SEP]
         mask = np.zeros(max_length, np.int32)
         out = np.full(max_length, PAD, np.int32)
         out[: len(ids)] = ids
         mask[: len(ids)] = 1
         return out, mask
 
-    def encode_batch(self, texts: list[str], max_length: int = 128
+    def encode_batch(self, texts: list[str], max_length: int = 128,
+                     truncate: str = "right"
                      ) -> tuple[np.ndarray, np.ndarray]:
-        pairs = [self.encode(t, max_length) for t in texts]
+        pairs = [self.encode(t, max_length, truncate) for t in texts]
         ids = np.stack([p[0] for p in pairs])
         mask = np.stack([p[1] for p in pairs])
         return ids, mask
@@ -125,17 +137,24 @@ class HFTokenizerAdapter:
     def special_token_ids(self) -> tuple[int, ...]:
         return tuple(int(i) for i in self.hf.all_special_ids)
 
-    def encode(self, text: str, max_length: int = 128):
-        out = self.hf(text, padding="max_length", truncation=True,
-                      max_length=max_length)
+    def _with_side(self, payload, max_length: int, truncate: str):
+        prev = self.hf.truncation_side
+        self.hf.truncation_side = truncate
+        try:
+            out = self.hf(payload, padding="max_length",
+                          truncation=True, max_length=max_length)
+        finally:
+            self.hf.truncation_side = prev
         return (np.asarray(out["input_ids"], np.int32),
                 np.asarray(out["attention_mask"], np.int32))
 
-    def encode_batch(self, texts: list[str], max_length: int = 128):
-        out = self.hf(list(texts), padding="max_length", truncation=True,
-                      max_length=max_length)
-        return (np.asarray(out["input_ids"], np.int32),
-                np.asarray(out["attention_mask"], np.int32))
+    def encode(self, text: str, max_length: int = 128,
+               truncate: str = "right"):
+        return self._with_side(text, max_length, truncate)
+
+    def encode_batch(self, texts: list[str], max_length: int = 128,
+                     truncate: str = "right"):
+        return self._with_side(list(texts), max_length, truncate)
 
     def decode(self, ids) -> str:
         return self.hf.decode(

@@ -29,10 +29,16 @@ def make_lm_examples(contexts: list[str], reports: list[str],
                      tokenizer: Tokenizer, max_length: int
                      ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Token streams ``context [SEP] report [SEP]`` with a loss mask
-    covering only the report span."""
+    covering only the report span.
+
+    The context is LEFT-truncated: decoder prompts end with the
+    instruction-critical tail (validated-observation line + the
+    "Findings:" marker), so overflow must drop the head — and serving
+    (``pipeline/radar.py``) encodes prompts the same way."""
     ids_all, attn_all, loss_mask_all = [], [], []
     for ctx, rep in zip(contexts, reports):
-        ctx_ids, _ = tokenizer.encode(ctx, max_length // 2)
+        ctx_ids, _ = tokenizer.encode(ctx, max_length // 2,
+                                      truncate="left")
         ctx_len = int((ctx_ids != 0).sum())
         rep_ids, _ = tokenizer.encode(rep, max_length - ctx_len)
         rep_ids = rep_ids[1:]  # drop the leading [CLS]

@@ -255,7 +255,10 @@ class RadarPipeline:
         banned = None if banned_mask is None else jnp.asarray(banned_mask)
 
         def generation_fn(context: str) -> str:
-            ids, mask = self.tokenizer.encode(context, max_prompt)
+            # left-truncate: keep the instruction-critical prompt tail
+            # (validated line + Findings: marker), as in LM training
+            ids, mask = self.tokenizer.encode(context, max_prompt,
+                                              truncate="left")
             rng = jax.random.fold_in(jax.random.key(seed), counter[0])
             counter[0] += 1
             tokens = generate(
@@ -346,7 +349,8 @@ class RadarPipeline:
         ``banned_mask`` ([B, vocab] bool) applies per-row constrained
         decoding (contribution 3.3)."""
         max_prompt, max_new = self._prompt_budget()
-        ids, mask = self.tokenizer.encode_batch(contexts, max_prompt)
+        ids, mask = self.tokenizer.encode_batch(contexts, max_prompt,
+                                                truncate="left")
         tokens = generate(
             self.decoder, self.decoder_params, jnp.asarray(ids),
             jnp.asarray(mask), prefix_embedding=image_embeddings,

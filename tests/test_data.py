@@ -215,3 +215,22 @@ def test_public_api_exports():
     assert callable(radar_tpu.create_model)
     with pytest.raises(AttributeError):
         radar_tpu.not_a_thing
+
+
+def test_tokenizer_left_truncation():
+    """Decoder prompts keep the instruction-critical TAIL on overflow
+    (validated-observation line + Findings: marker)."""
+    from radar_tpu.data.tokenizer import CLS, SEP, Tokenizer
+    tok = Tokenizer.clinical_default(512)
+    text = ("lungs are clear " * 30
+            + "validated observations cardiomegaly findings")
+    ids_r, m_r = tok.encode(text, 16, truncate="right")
+    ids_l, m_l = tok.encode(text, 16, truncate="left")
+    assert ids_r[0] == CLS and ids_l[0] == CLS
+    assert tok.decode(ids_l).endswith("cardiomegaly findings")
+    assert "cardiomegaly" not in tok.decode(ids_r)
+    # no overflow -> both sides identical
+    import numpy as np
+    a, _ = tok.encode("cardiomegaly present", 16, truncate="left")
+    b, _ = tok.encode("cardiomegaly present", 16, truncate="right")
+    np.testing.assert_array_equal(a, b)
