@@ -479,7 +479,8 @@ class RadarPipeline:
                 retrieved[i].extend(ranked)
                 from .prompts import build_regeneration_prompt
                 current[i] = build_regeneration_prompt(
-                    gen, ranked[: cfg.evidence_passages], expected[i])
+                    gen, ranked[: cfg.evidence_passages],
+                    expected[i] | missings[i])
                 last_prompt[i] = current[i]
             if all(done):
                 break

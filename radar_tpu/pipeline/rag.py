@@ -175,11 +175,15 @@ class IterativeRAG:
             ranked = self.retriever.rank_retrieved_passages(
                 passages, missing, state.seen_passages, scores)
             state.update(query, ranked, detected)
-            # the regeneration prompt re-states the validated set so
-            # later decodes stay anchored to the expert stage
+            # the regeneration prompt re-states the validated set PLUS
+            # the observations this iteration is targeting — the
+            # decoder is trained to write exactly the validated line
+            # (LM regen examples put the draft-dropped observations in
+            # it), so missing observations must appear there or the
+            # decoder will anchor on the stale line and never add them
             context = build_regeneration_prompt(
                 generations[-1], ranked[: cfg.evidence_passages],
-                expected)
+                expected | missing)
             last_context = context
             generations.append(generation_function(context))
 
