@@ -105,7 +105,15 @@ def main(argv=None):
     parser.add_argument("--batches", type=int, nargs="+",
                         default=[256, 384])
     parser.add_argument("--iters", type=int, default=20)
+    # MFU experiments (VERDICT r2 #9): MXU-friendly sequence padding
+    # (197 -> 256) and wider attention heads (768/6 = 128 = systolic
+    # contraction depth). Useful-FLOPs accounting is unchanged — the
+    # analytic counts below always use the unpadded sequence.
+    parser.add_argument("--seq_pad_to", type=int, default=0)
+    parser.add_argument("--vision_heads", type=int, default=None)
     args = parser.parse_args(argv)
+
+    import dataclasses
 
     from radar_tpu.core.config import RadarConfig, tiny_config
     from radar_tpu.models.experts import create_model
@@ -114,6 +122,14 @@ def main(argv=None):
 
     on_tpu = jax.default_backend() == "tpu"
     cfg = RadarConfig() if on_tpu else tiny_config()
+    vkw = {}
+    if args.seq_pad_to:
+        vkw["seq_pad_to"] = args.seq_pad_to
+    if args.vision_heads:
+        vkw["num_heads"] = args.vision_heads
+    if vkw:
+        cfg = dataclasses.replace(
+            cfg, vision=dataclasses.replace(cfg.vision, **vkw))
     if not on_tpu:
         args.batches = [8]
         args.iters = 3
@@ -220,10 +236,15 @@ def main(argv=None):
                      "mfu": fl / dt / 1e12 / PEAK_TFLOPS,
                      "images_per_sec": batch / dt})
 
+    variant = ""
+    if args.seq_pad_to:
+        variant += f" seq_pad_to={args.seq_pad_to}"
+    if args.vision_heads:
+        variant += f" heads={args.vision_heads}"
     result = {"peak_tflops": PEAK_TFLOPS,
               "backend": jax.default_backend(),
-              "config": "quality (ViT-B/16 + 6-layer text)"
-              if on_tpu else "tiny(cpu)",
+              "config": ("quality (ViT-B/16 + 6-layer text)"
+                         if on_tpu else "tiny(cpu)") + variant,
               "rows": rows}
     import os
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),
