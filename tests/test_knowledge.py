@@ -280,3 +280,47 @@ def test_fusion_on_text_features_learns_and_filters(cfg, tokenizer):
     assert consistent in kept, (kept, dropped)
     assert any(d["passage"] == conflicting for d in dropped), \
         (kept, dropped)
+
+
+def test_corroborate_observations_gating(cfg, tokenizer):
+    """Image-neighbour corroboration: an observation becomes a loop
+    candidate only with enough neighbour votes AND an expert
+    probability in (prob_floor, threshold] — confident and vetoed
+    observations are excluded."""
+    import numpy as np
+
+    from radar_tpu.core.constants import OBSERVATION_NAMES
+    from radar_tpu.pipeline.radar import RadarPipeline
+
+    class _FakeIndex:
+        count = 4
+
+        def search(self, q, k):
+            n = len(q)
+            ids = np.tile(np.arange(4)[:k], (n, 1))
+            return np.ones_like(ids, np.float32), ids
+
+    class _FakeDpr:
+        index = _FakeIndex()
+        passages = [
+            "Edema. Cardiomegaly is enlarged.",
+            "Edema. Pneumothorax is present.",
+            "Edema. Cardiomegaly noted.",
+            "Atelectasis.",
+        ]
+
+    pipe = RadarPipeline(cfg, tokenizer)
+    pipe.dpr = _FakeDpr()
+    probs = np.full((1, 14), 0.02, np.float32)
+    probs[0, OBSERVATION_NAMES.index("Edema")] = 0.3        # in band
+    probs[0, OBSERVATION_NAMES.index("Cardiomegaly")] = 0.9  # confident
+    # Pneumothorax stays 0.02 -> vetoed (< prob_floor)
+    out = pipe.corroborate_observations(np.zeros((1, 8)), probs)
+    # Edema: 3+ votes, prob in (0.15, 0.5] -> candidate
+    assert "Edema" in out[0]
+    # Cardiomegaly: enough votes but already confident -> excluded
+    assert "Cardiomegaly" not in out[0]
+    # Pneumothorax: too few votes AND vetoed -> excluded
+    assert "Pneumothorax" not in out[0]
+    # Atelectasis: one vote -> excluded
+    assert "Atelectasis" not in out[0]
