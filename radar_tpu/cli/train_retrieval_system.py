@@ -36,6 +36,10 @@ def build_parser():
                         choices=["2.1", "2.2", "2.3", "all"],
                         default="all")
     parser.add_argument("--epochs", type=int, default=None)
+    parser.add_argument("--embedder_epochs", type=int, default=None,
+                        help="Embedder (2.1) epoch override — corpus "
+                             "image-query MRR keeps improving well "
+                             "past the fusion/LM epoch budget")
     parser.add_argument("--lm_epochs", type=int, default=None,
                         help="Decoder-LM (2.3) epoch override — LM "
                              "epochs are cheap (~20 s) and report "
@@ -88,8 +92,9 @@ def main(argv=None):
 
             def graft(p):  # noqa: F811
                 return warm_start_embedder_params(p, vparams, tparams)
-        module, params, history = train_embedder(cfg, factory,
-                                                 param_graft=graft)
+        module, params, history = train_embedder(
+            cfg, factory, num_epochs=args.embedder_epochs,
+            param_graft=graft)
         acc = retrieval_alignment(module, params, factory)
         save_params(os.path.join(args.output_dir, "embedder"),
                     {"params": params})

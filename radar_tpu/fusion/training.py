@@ -110,7 +110,13 @@ def train_fusion_on_texts(config: RadarConfig, labels: np.ndarray,
     params = module.init(jax.random.key(seed),
                          jnp.asarray(pf_feats[:2]),
                          jnp.asarray(sf_feats[:2]))["params"]
-    tx = make_optimizer(config.train)
+    epochs = num_epochs or config.train.num_epochs
+    # cosine schedule spans the actual run (real epoch count; the
+    # synthesized-pair sets are one big batch-split epoch, so the
+    # default steps_per_epoch=100 is close enough per epoch but the
+    # config epoch count may differ from num_epochs)
+    import dataclasses as _dc
+    tx = make_optimizer(_dc.replace(config.train, num_epochs=epochs))
     opt_state = tx.init(params)
 
     def loss_fn(params, batch):
@@ -135,7 +141,6 @@ def train_fusion_on_texts(config: RadarConfig, labels: np.ndarray,
         return params, opt_state, loss, aux
 
     n = labels.shape[0]
-    epochs = num_epochs or config.train.num_epochs
     history = []
     for epoch in range(epochs):
         losses, accs = [], []
@@ -175,7 +180,13 @@ def train_fusion(config: RadarConfig, labels: np.ndarray,
     params = module.init(jax.random.key(seed),
                          jnp.asarray(sample["pf"]),
                          jnp.asarray(sample["sf"]))["params"]
-    tx = make_optimizer(config.train)
+    epochs = num_epochs or config.train.num_epochs
+    # cosine schedule spans the actual run (real epoch count; the
+    # synthesized-pair sets are one big batch-split epoch, so the
+    # default steps_per_epoch=100 is close enough per epoch but the
+    # config epoch count may differ from num_epochs)
+    import dataclasses as _dc
+    tx = make_optimizer(_dc.replace(config.train, num_epochs=epochs))
     opt_state = tx.init(params)
 
     def loss_fn(params, batch):
@@ -198,7 +209,6 @@ def train_fusion(config: RadarConfig, labels: np.ndarray,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss, aux
 
-    epochs = num_epochs or config.train.num_epochs
     history = []
     n = labels.shape[0]
     for epoch in range(epochs):

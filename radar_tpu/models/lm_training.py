@@ -9,6 +9,7 @@ the model the iterative-RAG loop drives at inference.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Callable, Iterable
 
 import jax
@@ -159,7 +160,15 @@ def train_decoder_lm(config: RadarConfig,
                          jnp.asarray(sample["input_ids"]),
                          jnp.asarray(sample["attention_mask"]),
                          jnp.asarray(prefix))["params"]
-    tx = make_optimizer(config.train)
+    epochs = num_epochs or config.train.num_epochs
+    # real steps/epoch + the ACTUAL epoch count so the cosine schedule
+    # spans the run (the default 100 x config-epochs let long
+    # --lm_epochs runs spend most of their steps at lr~0: round-3 chain
+    # log showed decoder loss frozen at 0.3411 from epoch 2 of 12)
+    steps_per_epoch = sum(1 for _ in batches())
+    tx = make_optimizer(dataclasses.replace(config.train,
+                                            num_epochs=epochs),
+                        steps_per_epoch=steps_per_epoch)
     opt_state = tx.init(params)
 
     def loss_fn(params, batch):
@@ -177,7 +186,6 @@ def train_decoder_lm(config: RadarConfig,
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
-    epochs = num_epochs or config.train.num_epochs
     history = []
     for epoch in range(epochs):
         losses = []

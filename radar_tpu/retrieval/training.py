@@ -10,6 +10,7 @@ nearby — the objective that makes ``retrieve_for_image`` work.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Iterable, Callable
 
 import jax
@@ -19,7 +20,7 @@ import optax
 from ..core.config import RadarConfig
 from ..core.logging import get_logger
 from ..core.training import make_optimizer
-from ..models.losses import contrastive_loss
+from ..models.losses import contrastive_loss, multi_positive_infonce
 from .embedder import CrossModalEmbedder
 
 logger = get_logger("radar_tpu.retrieval.train")
@@ -50,7 +51,12 @@ def train_embedder(config: RadarConfig,
     if param_graft is not None:
         params = param_graft(jax.device_get(params))
     epochs = num_epochs or config.train.num_epochs
-    tx = make_optimizer(config.train)
+    # real steps/epoch so the cosine schedule spans the actual run
+    # (the default 100 made long runs spend their tail at lr~0)
+    steps_per_epoch = sum(1 for _ in batches())
+    tx = make_optimizer(dataclasses.replace(config.train,
+                                            num_epochs=epochs),
+                        steps_per_epoch=steps_per_epoch)
     opt_state = tx.init(params)
 
     temperature = 14.0  # fixed logit scale for embedder training
@@ -68,8 +74,14 @@ def train_embedder(config: RadarConfig,
                                 batch.get("report_mask",
                                           batch["attention_mask"]))
         labels = batch.get("labels")
-        loss, parts = contrastive_loss(img, txt, temperature, labels,
-                                       config.expert)
+        if labels is not None:
+            # positives mirror the corpus relevance definition
+            # (eval.retrieval_eval.relevance_sets: Jaccard>=0.5)
+            loss, parts = multi_positive_infonce(
+                img, txt, temperature, labels, config=config.expert)
+        else:
+            loss, parts = contrastive_loss(img, txt, temperature,
+                                           labels, config.expert)
         return loss, parts
 
     @jax.jit
