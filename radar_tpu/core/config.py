@@ -183,6 +183,12 @@ class RetrievalConfig(ConfigBase):
     shard_axis: str = "data"
     query_batch: int = 64
     max_passage_tokens: int = 128
+    #: embedder training objective: "diagonal" (own-pair InfoNCE),
+    #: "multipos" (positives = label-Jaccard>=0.5 pairs, mirroring the
+    #: eval relevance definition), or "blend" (multipos with the own
+    #: pair up-weighted ``blend_self_weight``x)
+    objective: str = "blend"
+    blend_self_weight: float = 4.0
 
 
 @dataclass(frozen=True)

@@ -105,7 +105,8 @@ def multi_positive_infonce(image_embeds: jnp.ndarray,
                            logit_scale: jnp.ndarray,
                            labels: jnp.ndarray,
                            min_jaccard: float = 0.5,
-                           config: ExpertConfig | None = None
+                           config: ExpertConfig | None = None,
+                           self_weight: float = 1.0
                            ) -> tuple[jnp.ndarray, dict]:
     """Symmetric InfoNCE with *multi-positive* soft targets: every
     in-batch pair whose pathology label sets (first 13 observations,
@@ -130,8 +131,12 @@ def multi_positive_infonce(image_embeds: jnp.ndarray,
     both_neg = (sums == 0) & (sums.T == 0)
     pos = ((jac >= min_jaccard) | both_neg).astype(jnp.float32)
     b = pos.shape[0]
-    pos = jnp.maximum(pos, jnp.eye(b))        # own pair always positive
-    targets = pos / jnp.sum(pos, axis=-1, keepdims=True)
+    eye = jnp.eye(b)
+    pos = jnp.maximum(pos, eye)               # own pair always positive
+    # ``self_weight`` > 1 keeps the own pair dominant ("blend"): the
+    # true pairing carries instance-level signal beyond the label set
+    weights = pos + (self_weight - 1.0) * eye
+    targets = weights / jnp.sum(weights, axis=-1, keepdims=True)
 
     sim = logit_scale * (image_embeds @ text_embeds.T)
     loss_i2t = jnp.mean(optax.softmax_cross_entropy(sim, targets))

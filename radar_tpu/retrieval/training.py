@@ -74,11 +74,15 @@ def train_embedder(config: RadarConfig,
                                 batch.get("report_mask",
                                           batch["attention_mask"]))
         labels = batch.get("labels")
-        if labels is not None:
+        objective = config.retrieval.objective
+        if labels is not None and objective in ("multipos", "blend"):
             # positives mirror the corpus relevance definition
-            # (eval.retrieval_eval.relevance_sets: Jaccard>=0.5)
+            # (eval.retrieval_eval.relevance_sets: Jaccard>=0.5);
+            # "blend" keeps the own pair dominant
             loss, parts = multi_positive_infonce(
-                img, txt, temperature, labels, config=config.expert)
+                img, txt, temperature, labels, config=config.expert,
+                self_weight=(config.retrieval.blend_self_weight
+                             if objective == "blend" else 1.0))
         else:
             loss, parts = contrastive_loss(img, txt, temperature,
                                            labels, config.expert)
