@@ -186,8 +186,12 @@ class RetrievalConfig(ConfigBase):
     #: embedder training objective: "diagonal" (own-pair InfoNCE),
     #: "multipos" (positives = label-Jaccard>=0.5 pairs, mirroring the
     #: eval relevance definition), or "blend" (multipos with the own
-    #: pair up-weighted ``blend_self_weight``x)
-    objective: str = "blend"
+    #: pair up-weighted ``blend_self_weight``x).  CPU pilot, 16 epochs
+    #: at 4096-passage scale (Jaccard>=0.5 relevance): diagonal 0.914
+    #: image MRR vs blend 0.859 vs multipos 0.60 — the instance-level
+    #: pairing signal beats relevance-matched soft targets once the
+    #: schedule lets training run to convergence.
+    objective: str = "diagonal"
     blend_self_weight: float = 4.0
 
 

@@ -8,7 +8,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 R=scripts/tpu_retry.sh
 
-OBJ=${RADAR_EMB_OBJECTIVE:-blend}
+OBJ=${RADAR_EMB_OBJECTIVE:-diagonal}
 EMB_EPOCHS=${RADAR_EMB_EPOCHS:-16}
 
 TRAIN="--synthetic --tiny --synthetic_size 4096 --context_leak_fraction 0.25 \
