@@ -434,6 +434,16 @@ class RadarPipeline:
                 np.asarray(image_embeddings), probs)
         expected = [self.rag.expected_in_vocab(
             set(expert_obs[i]) | corroborated[i]) for i in range(n)]
+        # expert-gated accrual set: a draft mention only joins the
+        # cumulative/target set if the expert does NOT confidently
+        # refute it (see rag.plan_iteration)
+        allowed = [None] * n
+        if probs is not None:
+            from .grounding import GroundingVerifier
+            h_th = GroundingVerifier().hallucination_threshold
+            allowed = [{OBSERVATION_NAMES[j]
+                        for j in range(len(OBSERVATION_NAMES))
+                        if probs[i, j] > h_th} for i in range(n)]
 
         for iteration in range(cfg.max_iterations - 1):
             # pass 1 (host): plan every active study, collect queries
@@ -442,7 +452,8 @@ class RadarPipeline:
                 if done[i]:
                     continue
                 done[i], missing, detected = self.rag.plan_iteration(
-                    generations[i], cumulative[i], refs[i], expected[i])
+                    generations[i], cumulative[i], refs[i], expected[i],
+                    allowed[i])
                 cumulative[i] |= detected
                 if not done[i]:
                     active.append(i)
@@ -632,11 +643,20 @@ class RadarPipeline:
             corroborated = self.corroborate_observations(
                 np.asarray(image_embedding),
                 expert_out["probs"][None])[0]
+        allowed = None
+        if expert_out is not None:
+            from .grounding import GroundingVerifier
+            h_th = GroundingVerifier().hallucination_threshold
+            p = expert_out["probs"]
+            allowed = {OBSERVATION_NAMES[j]
+                       for j in range(len(OBSERVATION_NAMES))
+                       if p[j] > h_th}
         rag_out = self.rag.generate_with_iterative_retrieval(
             pf_context, retrieval_fn, generation_fn,
             reference_text=reference_text,
             expected_observations=expected | corroborated,
-            initial_generation=preliminary)
+            initial_generation=preliminary,
+            allowed_observations=allowed)
 
         grounding = None
         final_text = rag_out["final_text"]

@@ -109,3 +109,24 @@ def test_temporal_cli_trains_and_pipeline_hook(tmp_path, cfg, tokenizer):
     assert "comparison" in out
     assert "Comparison:" in prompts[0]
     assert out["comparison"] in prompts[0]
+
+
+def test_temporal_artifact_per_class_floors():
+    """Regression gate on the checked-in round-3 artifact (VERDICT r2
+    #3 done-criterion): progression macro-F1 >= 0.60 with Improved AND
+    Worsened F1 >= 0.40, at BOTH the change-enriched training rates and
+    the natural transition rates."""
+    import json
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "results",
+                        "temporal_evaluation.json")
+    if not os.path.exists(path):
+        import pytest
+        pytest.skip("no temporal artifact checked in")
+    d = json.load(open(path))
+    for block in ("validation", "validation_natural_rates"):
+        v = d.get(block)
+        assert v is not None, f"{block} missing from artifact"
+        assert v["progression_macro_f1"] >= 0.60, block
+        assert v["per_class"]["improved"]["f1"] >= 0.40, block
+        assert v["per_class"]["worsened"]["f1"] >= 0.40, block
