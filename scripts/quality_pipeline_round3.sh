@@ -42,4 +42,13 @@ bash $R /tmp/q_pipe_lf.log 1800 3 \
   python -m radar_tpu.cli.evaluate_pipeline $PIPE --leakage_free \
   --output_path results/pipeline_evaluation_quality_leakfree.json
 
+echo "=== quality batched serving throughput (reports/sec)"
+bash $R /tmp/q_serving.log 1800 3 \
+  python -m radar_tpu.cli.bench_serving --synthetic \
+  --model_type uncertainty \
+  --expert_checkpoint ./checkpoints/quality/expert_models/uncertainty \
+  --retrieval_checkpoint ./checkpoints/quality/retrieval_system \
+  --passages 1024 --serve_batch 64 --num_batches 3 \
+  --output results/serving_throughput_quality.json
+
 echo "=== DONE quality_pipeline_round3"
