@@ -149,6 +149,47 @@ class RadarPipeline:
             out.append(cand)
         return out
 
+    def _neighbour_votes(self, image_embeddings) -> np.ndarray | None:
+        """[B, n_obs] image-neighbour observation votes: how many of
+        the ``rag.veto_top_m`` visually-nearest indexed reports carry
+        each observation, read from the index's stored multi-hot
+        labels (``ShardedIndex.observations``).  Returns None when the
+        veto is disabled, there is no index, or the index was built
+        without observation labels."""
+        cfg = self.config.rag
+        if (self.dpr is None or image_embeddings is None
+                or cfg.veto_top_m <= 0 or self.dpr.index.count == 0):
+            return None
+        obs = np.asarray(self.dpr.index.observations)
+        if not obs.any():
+            return None
+        _, ids = self.dpr.index.search(np.asarray(image_embeddings),
+                                       cfg.veto_top_m)
+        ids = np.asarray(ids)
+        votes = np.zeros((len(ids), obs.shape[1]), np.float32)
+        count = self.dpr.index.count
+        for r, row in enumerate(ids):
+            valid = row[(row >= 0) & (row < count)]
+            if len(valid):
+                votes[r] = obs[valid].sum(0)
+        return votes
+
+    def _apply_veto(self, probs: np.ndarray, decisions: np.ndarray,
+                    votes: np.ndarray | None) -> np.ndarray:
+        """Cross-modal veto on expert-positive decisions (round-3):
+        keep a positive only when the expert is strongly confident OR
+        enough visual neighbours corroborate it — the two signals come
+        from independently-trained models, so their false positives
+        decorrelate.  ``No Finding`` is exempt (it is not a mention
+        the decoder can hallucinate)."""
+        if votes is None:
+            return decisions
+        cfg = self.config.rag
+        keep = (probs > cfg.veto_prob) | (votes >= cfg.veto_min_votes)
+        nf = OBSERVATION_NAMES.index("No Finding")
+        keep[:, nf] = True
+        return decisions & keep
+
     @staticmethod
     def _obs_index(name: str) -> int | None:
         from .grounding import _ALIAS
@@ -379,7 +420,13 @@ class RadarPipeline:
         refs = reference_texts or [None] * n
         cfg = self.config.rag
 
-        # stage 2 (batched): calibrated expert observations
+        image_embeddings = None
+        if self.dpr is not None:
+            image_embeddings = jnp.asarray(
+                self.dpr.embedder.embed_images(list(images)))
+
+        # stage 2 (batched): calibrated expert observations, with the
+        # cross-modal image-neighbour veto on positives (round-3)
         expert_obs = [{} for _ in range(n)]
         probs = None
         q_obs = None
@@ -392,17 +439,15 @@ class RadarPipeline:
             th = np.broadcast_to(
                 np.asarray(self._thresholds(), np.float32),
                 probs.shape[-1:])
-            q_obs = (probs > th).astype(np.float32)
+            votes = (self._neighbour_votes(np.asarray(image_embeddings))
+                     if image_embeddings is not None else None)
+            decisions = self._apply_veto(probs, probs > th, votes)
+            q_obs = decisions.astype(np.float32)
             for i in range(n):
                 expert_obs[i] = {
                     OBSERVATION_NAMES[j]: float(probs[i, j])
                     for j in range(len(OBSERVATION_NAMES))
-                    if probs[i, j] > th[j]}
-
-        image_embeddings = None
-        if self.dpr is not None:
-            image_embeddings = jnp.asarray(
-                self.dpr.embedder.embed_images(list(images)))
+                    if decisions[i, j]}
 
         # first-pass constrained decoding (contribution 3.3): entities
         # the expert scores <= hallucination_threshold are banned in
@@ -592,7 +637,14 @@ class RadarPipeline:
             temporal_out = self.compare_with_prior(image, prior_image)
             clinical_context = (f"{clinical_context} Comparison: "
                                 f"{temporal_out['statements']}")
-        # stage 1+2: calibrated expert observations
+        # image embedding for retrieval + decoder conditioning
+        image_embedding = None
+        if self.dpr is not None:
+            image_embedding = jnp.asarray(
+                self.dpr.embedder.embed_images([image]))
+
+        # stage 1+2: calibrated expert observations, cross-modal veto
+        # on positives (round-3)
         expert_out = None
         q_obs = None
         if self._expert_fwd is not None:
@@ -600,13 +652,16 @@ class RadarPipeline:
             th = np.broadcast_to(
                 np.asarray(self._thresholds(), np.float32),
                 expert_out["probs"].shape)
-            q_obs = (expert_out["probs"] > th).astype(np.float32)[None]
-
-        # image embedding for retrieval + decoder conditioning
-        image_embedding = None
-        if self.dpr is not None:
-            image_embedding = jnp.asarray(
-                self.dpr.embedder.embed_images([image]))
+            votes = (self._neighbour_votes(np.asarray(image_embedding))
+                     if image_embedding is not None else None)
+            decisions = self._apply_veto(
+                expert_out["probs"][None],
+                (expert_out["probs"] > th)[None], votes)[0]
+            q_obs = decisions.astype(np.float32)[None]
+            expert_out["confident_observations"] = {
+                name: p
+                for name, p in expert_out["confident_observations"].items()
+                if decisions[OBSERVATION_NAMES.index(name)]}
 
         # first-pass constrained decoding (contribution 3.3): expert-
         # refuted entities are banned in EVERY decode, not just repair

@@ -324,3 +324,62 @@ def test_corroborate_observations_gating(cfg, tokenizer):
     assert "Pneumothorax" not in out[0]
     # Atelectasis: one vote -> excluded
     assert "Atelectasis" not in out[0]
+
+
+def test_cross_modal_veto(cfg, tokenizer):
+    """Cross-modal veto (round-3): an expert-positive observation
+    survives only when the expert is strongly confident
+    (p > veto_prob) or enough visual neighbours corroborate it
+    (votes >= veto_min_votes); No Finding is exempt; the veto
+    auto-disables when the index stores no observation labels."""
+    import numpy as np
+
+    from radar_tpu.core.constants import OBSERVATION_NAMES
+    from radar_tpu.pipeline.radar import RadarPipeline
+
+    n_obs = len(OBSERVATION_NAMES)
+    obs = np.zeros((4, n_obs), np.float32)
+    obs[:, OBSERVATION_NAMES.index("Edema")] = 1.0       # 4 < 7 votes
+    obs[:, OBSERVATION_NAMES.index("Cardiomegaly")] = 1.0
+
+    class _FakeIndex:
+        count = 4
+        observations = np.concatenate([obs, obs], 0)     # 8 rows -> 8
+        # votes when all ids hit; only ids < count are used
+
+        def search(self, q, k):
+            n = len(q)
+            ids = np.tile(np.arange(k) % 4, (n, 1))
+            return np.ones_like(ids, np.float32), ids
+
+    class _FakeDpr:
+        index = _FakeIndex()
+
+    pipe = RadarPipeline(cfg, tokenizer)
+    pipe.dpr = _FakeDpr()
+
+    votes = pipe._neighbour_votes(np.zeros((1, 8)))
+    assert votes is not None
+    # top_m=10 ids map to passages 0-3 cyclically -> 10 votes each
+    assert votes[0, OBSERVATION_NAMES.index("Edema")] == 10
+
+    probs = np.full((1, n_obs), 0.55, np.float32)
+    probs[0, OBSERVATION_NAMES.index("Pneumonia")] = 0.9
+    decisions = np.ones((1, n_obs), bool)
+    out = pipe._apply_veto(probs, decisions, votes)
+    # voted observations survive at p=0.55
+    assert out[0, OBSERVATION_NAMES.index("Edema")]
+    # strongly-confident expert positive survives with zero votes
+    assert out[0, OBSERVATION_NAMES.index("Pneumonia")]
+    # weak positive with no neighbour support is vetoed
+    assert not out[0, OBSERVATION_NAMES.index("Atelectasis")]
+    # No Finding is exempt
+    assert out[0, OBSERVATION_NAMES.index("No Finding")]
+    # votes=None (no labels in index) leaves decisions untouched
+    assert (pipe._apply_veto(probs, decisions, None) == decisions).all()
+
+    class _EmptyObsIndex(_FakeIndex):
+        observations = np.zeros((8, n_obs), np.float32)
+
+    pipe.dpr.index = _EmptyObsIndex()
+    assert pipe._neighbour_votes(np.zeros((1, 8))) is None
