@@ -243,14 +243,27 @@ class RAGConfig(ConfigBase):
     # observation (prob > threshold) only enters the prompt/expected
     # set if the expert is strongly confident (prob > veto_prob) OR at
     # least veto_min_votes of the veto_top_m visually-nearest indexed
-    # reports carry it.  Rule chosen by offline sweep on 256 leak-free
-    # studies: mention precision 0.859 -> 0.924 at recall 0.924 ->
-    # 0.849 (decision-set hallucination 0.141 -> 0.076).  veto_top_m=0
+    # reports carry it.  Rule first chosen by offline sweep on 256
+    # leak-free studies (0.6/7: mention precision 0.859 -> 0.924 at
+    # recall 0.924 -> 0.849); round-3 48-study CPU pilots then showed
+    # 0.7/6 at-or-better on every pipeline metric in all four modes
+    # (informative halluc 0.040 -> 0.030, BLEU-4 +0.002, micro-F1
+    # +0.004; leak-free equal F1, +0.003 BLEU).  veto_top_m=0
     # disables; the veto also auto-disables when the index was built
     # without observation labels.
     veto_top_m: int = 10
-    veto_min_votes: int = 7
-    veto_prob: float = 0.6
+    veto_min_votes: int = 6
+    veto_prob: float = 0.7
+    # mention-level veto (grounding pass): the SAME cross-modal rule,
+    # pointed at the final report's mentions — a mention survives only
+    # if prob > veto_mention_prob or votes >= veto_mention_votes.
+    # Stricter than the decision veto because a scrubbed FP mention is
+    # pure win (the sentence is removed) while a vetoed decision only
+    # shrinks the prompt set.  48-study leak-free CPU pilot: 0.7/6
+    # beats 0.6/7 on every metric (halluc 0.077 vs 0.088, BLEU-4 0.326
+    # vs 0.314, micro-F1 0.795 vs 0.782).
+    veto_mention_prob: float = 0.7
+    veto_mention_votes: int = 6
 
 
 @dataclass(frozen=True)

@@ -567,9 +567,17 @@ class RadarPipeline:
             vocab = self.config.decoder.vocab_size
             masks = (banned0.copy() if banned0 is not None
                      else np.zeros((n, vocab), bool))
+            # cross-modal mention grading: the veto rule also vets the
+            # final text's mentions (round-3: most leak-free FP
+            # mentions enter via drafts/accrual, not the expert set)
+            vkw = lambda i: dict(
+                neighbour_votes=(votes[i] if votes is not None else None),
+                veto_prob=cfg.veto_mention_prob,
+                veto_min_votes=cfg.veto_mention_votes)
             flagged = []
             for i in range(n):
-                grounding[i] = verifier.verify(final[i], probs[i])
+                grounding[i] = verifier.verify(final[i], probs[i],
+                                               **vkw(i))
                 if grounding[i]["hallucinated"]:
                     m = verifier.banned_token_mask(
                         self.tokenizer, grounding[i]["hallucinated"],
@@ -589,14 +597,14 @@ class RadarPipeline:
                     # unioned with the original list (ADVICE r2: a
                     # regeneration can introduce a different
                     # low-probability entity)
-                    post = verifier.verify(regen[i], probs[i])
+                    post = verifier.verify(regen[i], probs[i], **vkw(i))
                     fixed = verifier.filter_hallucinated_sentences(
                         regen[i], sorted(set(
                             grounding[i]["hallucinated"])
                             | set(post["hallucinated"])))
                     grounding[i]["unconstrained_report"] = final[i]
                     grounding[i]["post_constrained"] = verifier.verify(
-                        fixed, probs[i])
+                        fixed, probs[i], **vkw(i))
                     final[i] = fixed
 
         results = []
@@ -718,7 +726,12 @@ class RadarPipeline:
         if verify_grounding and expert_out is not None:
             from .grounding import GroundingVerifier
             verifier = GroundingVerifier()
-            grounding = verifier.verify(final_text, expert_out["probs"])
+            vkw = dict(
+                neighbour_votes=(votes[0] if votes is not None else None),
+                veto_prob=self.config.rag.veto_mention_prob,
+                veto_min_votes=self.config.rag.veto_mention_votes)
+            grounding = verifier.verify(final_text, expert_out["probs"],
+                                        **vkw)
             if grounding["hallucinated"]:
                 banned = verifier.banned_token_mask(
                     self.tokenizer, grounding["hallucinated"],
@@ -733,13 +746,14 @@ class RadarPipeline:
                 # evidence) and scrub with the regenerated text's own
                 # verdicts unioned in (ADVICE r2)
                 regen_raw = constrained(rag_out["last_context"])
-                post = verifier.verify(regen_raw, expert_out["probs"])
+                post = verifier.verify(regen_raw, expert_out["probs"],
+                                       **vkw)
                 regen = verifier.filter_hallucinated_sentences(
                     regen_raw, sorted(set(grounding["hallucinated"])
                                       | set(post["hallucinated"])))
                 grounding["unconstrained_report"] = final_text
                 grounding["post_constrained"] = verifier.verify(
-                    regen, expert_out["probs"])
+                    regen, expert_out["probs"], **vkw)
                 final_text = regen
 
         result = {

@@ -206,3 +206,29 @@ def test_batch_grounding_matches_single(cfg, tokenizer):
     assert first.shape[0] == 2 and first[0].any() and first[1].any()
     # the repair mask only grows (first-pass bans stay in force)
     assert (repair[0] | first[0]).sum() == repair[0].sum()
+
+
+def test_verify_cross_modal_veto_on_mentions():
+    """Round-3 mention-level veto: with neighbour votes supplied, a
+    mid-probability mention survives only if the expert is strongly
+    confident (prob > veto_prob) or enough visual neighbours carry the
+    observation (votes >= veto_min_votes)."""
+    v = GroundingVerifier()
+    # Atelectasis p=0.3 (uncertain under prob-only grading)
+    probs = _probs(cardiomegaly=0.9, atelectasis=0.3, edema=0.45)
+    votes = np.zeros(14, np.float32)
+    votes[OBSERVATION_NAMES.index("Edema")] = 9      # corroborated
+    text = ("Cardiomegaly is present. There is atelectasis. "
+            "Mild pulmonary edema.")
+    out = v.verify(text, probs, neighbour_votes=votes,
+                   veto_prob=0.6, veto_min_votes=7)
+    verdicts = {e["entity"]: e["verdict"] for e in out["entities"]}
+    assert verdicts["Cardiomegaly"] == SUPPORTED     # p>0.6 keeps it
+    assert verdicts["Atelectasis"] == HALLUCINATED   # 0.3, 0 votes
+    assert verdicts["Edema"] == SUPPORTED            # 9 votes rescue
+    assert out["hallucinated"] == ["Atelectasis"]
+    # without votes the old prob-only grading is unchanged
+    out2 = v.verify(text, probs)
+    verdicts2 = {e["entity"]: e["verdict"] for e in out2["entities"]}
+    assert verdicts2["Atelectasis"] == "uncertain"
+    assert out2["hallucinated"] == []
