@@ -809,8 +809,16 @@ class RadarPipeline:
         retrieval_fn = self._make_retrieval_fn(image_embedding, q_obs)
 
         def fn_factory(i: int):
+            # sample 0 is GREEDY: it anchors the candidate pool so the
+            # selection step can never fall below the deterministic
+            # serving path (round-2 weak spot: temp-0.7 3-sample scored
+            # BLEU-4 0.310 vs 0.347 greedy — stochastic-only pools trade
+            # away quality for the consistency measurement); samples
+            # 1..N-1 stay stochastic so consistency still measures
+            # real agreement.
             return self._make_generation_fn(
-                image_embedding, temperature=temperature,
+                image_embedding,
+                temperature=0.0 if i == 0 else temperature,
                 seed=seed * 1000 + i)
 
         out = self.rag.generate_with_verification(

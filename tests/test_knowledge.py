@@ -383,3 +383,35 @@ def test_cross_modal_veto(cfg, tokenizer):
 
     pipe.dpr.index = _EmptyObsIndex()
     assert pipe._neighbour_votes(np.zeros((1, 8))) is None
+
+
+def test_verification_pool_anchored_by_greedy(cfg, tokenizer):
+    """generate_report_with_verification's sample 0 must be GREEDY
+    (temperature 0) so selection can never fall below the
+    deterministic serving path; later samples stay stochastic."""
+    import numpy as np
+    from radar_tpu.pipeline.radar import RadarPipeline
+
+    temps = []
+
+    class _SpyPipe(RadarPipeline):
+        def predict_observations(self, image, context, **kw):
+            return {"probs": np.full(14, 0.01, np.float32),
+                    "uncertainty": None, "confident_observations": {}}
+
+        def _make_generation_fn(self, image_embedding, temperature=0.0,
+                                seed=0, banned_mask=None):
+            temps.append(temperature)
+            return lambda c: "No acute process."
+
+    pipe = _SpyPipe(cfg, tokenizer)
+    pipe._expert_fwd = lambda *a: None
+    pipe.expert_params = {}
+    out = pipe.generate_report_with_verification(
+        np.zeros((8, 8, 3), np.float32), "Ind: x",
+        num_samples=3, temperature=0.7)
+    # fn_factory(0) is built twice (positional fallback + sample 0);
+    # exactly num_samples-1 generation fns are stochastic
+    assert temps[0] == 0.0, "first sample must anchor greedy"
+    assert temps.count(0.7) == 2 and set(temps) == {0.0, 0.7}
+    assert out["best_generation"]
