@@ -262,8 +262,17 @@ class RAGConfig(ConfigBase):
     # shrinks the prompt set.  48-study leak-free CPU pilot: 0.7/6
     # beats 0.6/7 on every metric (halluc 0.077 vs 0.088, BLEU-4 0.326
     # vs 0.314, micro-F1 0.795 vs 0.782).
+    # a mention survives if prob > veto_mention_prob, or if votes >=
+    # veto_mention_votes AND prob > veto_mention_floor: neighbour votes
+    # are an image-similarity prior, so they may rescue a mention the
+    # expert is lukewarm on but must not override one the expert
+    # refutes (round-3 split-half validation: the floor cuts held-out
+    # mention halluc 0.105 -> 0.083 at -2% true mentions; the
+    # floor-less rule let corroboration-channel FPs with p~0.25 and
+    # 9-10 votes survive into the final text).
     veto_mention_prob: float = 0.7
     veto_mention_votes: int = 6
+    veto_mention_floor: float = 0.4
 
 
 @dataclass(frozen=True)

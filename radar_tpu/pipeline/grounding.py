@@ -67,8 +67,9 @@ class GroundingVerifier:
 
     def verify(self, report: str, expert_probs: np.ndarray,
                neighbour_votes: np.ndarray | None = None,
-               veto_prob: float = 0.6,
-               veto_min_votes: float = 7) -> dict:
+               veto_prob: float = 0.7,
+               veto_min_votes: float = 6,
+               veto_floor: float = 0.4) -> dict:
         """Entity-level verification of a generated report.
 
         Returns entities (name/probability/verdict), the hallucinated
@@ -79,11 +80,13 @@ class GroundingVerifier:
         counts, ``RadarPipeline._neighbour_votes``) the cross-modal
         veto rule also grades mentions: an entity survives only if the
         expert is strongly confident (prob > ``veto_prob``) OR enough
-        visual neighbours corroborate it (votes >= ``veto_min_votes``).
+        visual neighbours corroborate it (votes >= ``veto_min_votes``)
+        while the expert is at least lukewarm (prob > ``veto_floor``).
         The two models are independently trained, so their false
-        positives decorrelate — round-3 mention-level attribution found
-        this rule removes 6/13 leak-free FP mentions while keeping
-        98.8% of true mentions (scripts/diagnose_halluc.py).
+        positives decorrelate; the floor stops the image-similarity
+        prior from overriding an expert refutation (round-3 split-half
+        validation, scripts/diagnose_halluc.py: held-out mention halluc
+        0.105 -> 0.083 at -2% true mentions).
         """
         probs = np.asarray(expert_probs).reshape(-1)
         votes = (np.asarray(neighbour_votes).reshape(-1)
@@ -105,7 +108,9 @@ class GroundingVerifier:
             vetoed = False
             if votes is not None:
                 j = OBSERVATION_NAMES.index(name)
-                vetoed = not (p > veto_prob or votes[j] >= veto_min_votes)
+                vetoed = not (p > veto_prob
+                              or (p > veto_floor
+                                  and votes[j] >= veto_min_votes))
             if p <= self.hallucination_threshold or vetoed:
                 verdict = HALLUCINATED
                 hallucinated.append(name)

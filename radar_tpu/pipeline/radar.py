@@ -573,7 +573,8 @@ class RadarPipeline:
             vkw = lambda i: dict(
                 neighbour_votes=(votes[i] if votes is not None else None),
                 veto_prob=cfg.veto_mention_prob,
-                veto_min_votes=cfg.veto_mention_votes)
+                veto_min_votes=cfg.veto_mention_votes,
+                veto_floor=cfg.veto_mention_floor)
             flagged = []
             for i in range(n):
                 grounding[i] = verifier.verify(final[i], probs[i],
@@ -729,7 +730,8 @@ class RadarPipeline:
             vkw = dict(
                 neighbour_votes=(votes[0] if votes is not None else None),
                 veto_prob=self.config.rag.veto_mention_prob,
-                veto_min_votes=self.config.rag.veto_mention_votes)
+                veto_min_votes=self.config.rag.veto_mention_votes,
+                veto_floor=self.config.rag.veto_mention_floor)
             grounding = verifier.verify(final_text, expert_out["probs"],
                                         **vkw)
             if grounding["hallucinated"]:

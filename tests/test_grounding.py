@@ -232,3 +232,21 @@ def test_verify_cross_modal_veto_on_mentions():
     verdicts2 = {e["entity"]: e["verdict"] for e in out2["entities"]}
     assert verdicts2["Atelectasis"] == "uncertain"
     assert out2["hallucinated"] == []
+
+
+def test_verify_vote_rescue_needs_expert_floor():
+    """Neighbour votes may rescue a lukewarm mention but must not
+    override an expert refutation (veto_mention_floor): p=0.25 with 10
+    votes is still hallucinated; p=0.45 with the same votes survives."""
+    v = GroundingVerifier()
+    probs = _probs(pneumonia=0.25, cardiomegaly=0.45)
+    votes = np.zeros(14, np.float32)
+    votes[OBSERVATION_NAMES.index("Pneumonia")] = 10
+    votes[OBSERVATION_NAMES.index("Cardiomegaly")] = 10
+    out = v.verify("Pneumonia. Cardiomegaly is present.", probs,
+                   neighbour_votes=votes, veto_prob=0.7,
+                   veto_min_votes=6, veto_floor=0.4)
+    verdicts = {e["entity"]: e["verdict"] for e in out["entities"]}
+    assert verdicts["Pneumonia"] == HALLUCINATED
+    assert verdicts["Cardiomegaly"] != HALLUCINATED
+    assert out["hallucinated"] == ["Pneumonia"]
