@@ -41,6 +41,12 @@ def build_parser():
         description="Evaluate the full two-stage RADAR pipeline")
     parser.add_argument("--model_type", type=str, default="baseline")
     parser.add_argument("--expert_checkpoint", type=str, default=None)
+    parser.add_argument("--ensemble_expert", action="append",
+                        default=[], metavar="TYPE:CKPT_DIR",
+                        help="Extra expert member(s) for probability-"
+                             "averaged ensembling, e.g. "
+                             "--ensemble_expert gnn:./checkpoints/"
+                             "expert_models/gnn (repeatable)")
     parser.add_argument("--retrieval_checkpoint", type=str,
                         default="./checkpoints/retrieval_system")
     parser.add_argument("--num_samples", type=int, default=16)
@@ -132,11 +138,23 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
         ring = (Mesh(np.asarray(devs[:n_cp]), ("seq",)), "seq")
         logger.info("context parallelism: ring of %d devices", n_cp)
 
+    # probability-averaged expert ensemble (decorrelated confident FPs)
+    ensemble = []
+    for spec in getattr(args, "ensemble_expert", []) or []:
+        m_type, _, m_ckpt = spec.partition(":")
+        if not m_ckpt:
+            raise SystemExit(f"--ensemble_expert needs TYPE:CKPT_DIR, "
+                             f"got {spec!r}")
+        m_model, m_params = load_model_params(m_type, m_ckpt, cfg,
+                                              sample_batch)
+        ensemble.append((m_model, m_params, load_calibration(m_ckpt)))
+
     return RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
                          decoder, decoder_params, fusion_module,
                          fusion_params, ring=ring,
                          expert_thresholds=load_calibration(
-                             args.expert_checkpoint))
+                             args.expert_checkpoint),
+                         ensemble=ensemble)
 
 
 def main(argv=None):

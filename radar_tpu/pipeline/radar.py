@@ -38,7 +38,7 @@ class RadarPipeline:
                  decoder_params=None,
                  fusion_module=None, fusion_params=None,
                  temporal_model=None, temporal_params=None,
-                 ring=None, expert_thresholds=None):
+                 ring=None, expert_thresholds=None, ensemble=None):
         #: optional (mesh, axis_name): context-parallel ring attention
         #: for decoder prefills (long-context serving over ICI)
         self.ring = ring
@@ -65,6 +65,20 @@ class RadarPipeline:
             self._expert_fwd = jax.jit(
                 lambda p, pv, ids, m: expert_model.apply(
                     {"params": p}, pv, ids, m, deterministic=True))
+        #: extra expert members [(model, params, thresholds|None), ...]
+        #: for probability-averaged ensembling: confident false
+        #: positives of independently-trained experts decorrelate, so
+        #: the mean calibrated probability cuts the leak-free
+        #: hallucination floor a single expert cannot (round-3: the
+        #: residual FP mentions are expert-confident AND neighbour-
+        #: supported — only a second expert's dissent catches them)
+        self._members = []
+        for (m_model, m_params, m_th) in (ensemble or []):
+            self._members.append((
+                jax.jit(lambda p, pv, ids, msk, _mm=m_model:
+                        _mm.apply({"params": p}, pv, ids, msk,
+                                  deterministic=True)),
+                m_params, m_th))
         self._fusion_fwd = None
         if fusion_module is not None:
             self._fusion_fwd = jax.jit(
@@ -77,30 +91,59 @@ class RadarPipeline:
                     {"params": p}, c, pr)["progression_logits"])
 
     # ------------------------------------------------------------------
-    def _thresholds(self) -> np.ndarray | float:
-        """Per-class decision thresholds: in-params (uncertainty,
+    @staticmethod
+    def _member_thresholds(params, thresholds) -> np.ndarray | float:
+        """One member's decision thresholds: in-params (uncertainty,
         temperature-calibrated) > calibration.json > 0.5."""
-        if self.expert_params is not None \
-                and "thresholds" in self.expert_params:
-            return np.asarray(self.expert_params["thresholds"])
-        if self.expert_thresholds is not None:
-            return self.expert_thresholds
+        if params is not None and "thresholds" in params:
+            return np.asarray(params["thresholds"])
+        if thresholds is not None:
+            return np.asarray(thresholds)
         return 0.5
+
+    def _thresholds(self) -> np.ndarray | float:
+        """Per-class decision thresholds; with ensemble members the
+        mean of the members' calibrated thresholds (each member's
+        thresholds live on its own probability scale, so the mean
+        threshold matches the mean probability)."""
+        th = self._member_thresholds(self.expert_params,
+                                     self.expert_thresholds)
+        if not self._members:
+            return th
+        n_obs = len(OBSERVATION_NAMES)
+        acc = np.broadcast_to(np.asarray(th, np.float32),
+                              (n_obs,)).copy()
+        for (_, m_params, m_th) in self._members:
+            acc += np.broadcast_to(np.asarray(
+                self._member_thresholds(m_params, m_th), np.float32),
+                (n_obs,))
+        return acc / (1 + len(self._members))
+
+    @staticmethod
+    def _calibrated_probs(fwd, params, images, input_ids,
+                          attention_mask) -> np.ndarray:
+        logits = np.asarray(fwd(params, images, input_ids,
+                                attention_mask))
+        if "temperature" in params:
+            logits = logits / max(
+                float(np.asarray(params["temperature"])), 1e-3)
+        return np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
 
     def _expert_probs(self, images, input_ids, attention_mask
                       ) -> np.ndarray:
         """Calibrated expert probabilities for a batch: one jitted
-        forward, temperature-scaled when the params carry a calibrated
-        temperature (round-2 defect: the batched serving path used raw
-        uncalibrated logits at a fixed 0.5, severing it from the
-        trainer's calibration)."""
-        logits = np.asarray(self._expert_fwd(
-            self.expert_params, images, input_ids, attention_mask))
-        if "temperature" in self.expert_params:
-            logits = logits / max(
-                float(np.asarray(self.expert_params["temperature"])),
-                1e-3)
-        return np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
+        forward per ensemble member, temperature-scaled when the params
+        carry a calibrated temperature (round-2 defect: the batched
+        serving path used raw uncalibrated logits at a fixed 0.5,
+        severing it from the trainer's calibration).  With ensemble
+        members, the mean of the members' calibrated probabilities."""
+        probs = self._calibrated_probs(
+            self._expert_fwd, self.expert_params, images, input_ids,
+            attention_mask)
+        for (m_fwd, m_params, _) in self._members:
+            probs = probs + self._calibrated_probs(
+                m_fwd, m_params, images, input_ids, attention_mask)
+        return probs / (1 + len(self._members))
 
     # ------------------------------------------------------------------
     def corroborate_observations(self, image_embeddings: np.ndarray,
@@ -262,7 +305,12 @@ class RadarPipeline:
         tid = jnp.asarray(ids)[None]
         tmask = jnp.asarray(mask)[None]
         uncertainty = None
-        if ("thresholds" in self.expert_params
+        # ensemble serving: the mean calibrated probability replaces
+        # the single-model MC-dropout gate (members are deterministic
+        # forwards; the ensemble disagreement plays the uncertainty
+        # role)
+        if (not self._members
+                and "thresholds" in self.expert_params
                 and hasattr(self.expert_model, "head")):
             from ..models.uncertainty import mc_dropout_predict
             out = mc_dropout_predict(

@@ -105,6 +105,47 @@ def test_full_radar_pipeline(cfg, dataset, tokenizer):
     assert isinstance(out["retrieved_passages"], list)
 
 
+def test_expert_ensemble_probability_averaging(cfg, dataset, tokenizer):
+    """Probability-averaged expert ensembling (round-3): the pipeline's
+    expert stage with extra members must gate on the MEAN of the
+    members' calibrated probabilities against the MEAN of their
+    per-class thresholds — the decorrelated-FP veto that a single
+    expert cannot provide."""
+    sample = dataset[0]
+    pv = jnp.asarray(sample["pixel_values"])[None]
+    ids = jnp.asarray(sample["input_ids"])[None]
+    mask = jnp.asarray(sample["attention_mask"])[None]
+
+    m1 = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    p1 = m1.init(jax.random.key(0), pv, ids, mask)["params"]
+    m2 = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    p2 = m2.init(jax.random.key(7), pv, ids, mask)["params"]
+
+    n_obs = int(np.asarray(sample["labels"]).shape[-1])
+    th1 = np.full(n_obs, 0.5, np.float32)
+    th2 = np.full(n_obs, 0.7, np.float32)
+
+    solo = RadarPipeline(cfg, tokenizer, m1, p1,
+                         expert_thresholds=th1)
+    duo = RadarPipeline(cfg, tokenizer, m1, p1,
+                        expert_thresholds=th1,
+                        ensemble=[(m2, p2, th2)])
+
+    probs1 = solo._expert_probs(pv, ids, mask)
+    solo2 = RadarPipeline(cfg, tokenizer, m2, p2,
+                          expert_thresholds=th2)
+    probs2 = solo2._expert_probs(pv, ids, mask)
+    mean = duo._expert_probs(pv, ids, mask)
+    np.testing.assert_allclose(mean, (probs1 + probs2) / 2, atol=1e-6)
+    np.testing.assert_allclose(duo._thresholds(),
+                               (th1 + th2) / 2, atol=1e-6)
+
+    # the single-study expert stage must use the ensemble gate too
+    out = duo.predict_observations(sample["pixel_values"],
+                                   sample["clinical_context"])
+    np.testing.assert_allclose(out["probs"], mean[0], atol=1e-6)
+
+
 def test_trained_decoder_generates_true_observations(cfg, tokenizer):
     """Train the report decoder on synthetic (context -> report) pairs
     and verify greedy generation surfaces the ground-truth observations
