@@ -95,7 +95,9 @@ class EncoderBlock(nn.Module):
     quant: bool | str = False
 
     @nn.compact
-    def __call__(self, x, mask=None, *, deterministic: bool = True):
+    def __call__(self, x, mask=None, deterministic: bool = True):
+        # ``deterministic`` is positional-or-keyword (not kw-only) so
+        # the remat wrapper can mark it static via static_argnums
         e = x.shape[-1]
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(self.num_heads, self.dropout_rate,
@@ -126,10 +128,12 @@ class TransformerEncoder(nn.Module):
             block_cls = nn.remat(EncoderBlock, static_argnums=(3,),
                                  prevent_cse=False)
         for i in range(self.depth):
+            # deterministic passed POSITIONALLY: under remat it is the
+            # static_argnums=(3,) argument (self=0, x=1, mask=2)
             x = block_cls(self.num_heads, self.mlp_ratio,
                           self.dropout_rate, self.dtype,
                           quant=self.quant, name=f"block_{i}")(
-                x, mask, deterministic=deterministic)
+                x, mask, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
 
 

@@ -106,3 +106,30 @@ def test_causal_masking():
     # position 0 attends only to itself -> output = v[0]
     np.testing.assert_allclose(np.asarray(out[0, 0, 0]),
                                np.asarray(q[0, 0, 0]), atol=1e-5)
+
+
+def test_transformer_encoder_remat_trains_and_matches():
+    """train.remat=true path (quality preset): the rematerialised
+    encoder must (a) accept deterministic=False with a dropout rng in
+    a grad — the static_argnums wiring crashed here when
+    ``deterministic`` was keyword-only — and (b) match the non-remat
+    forward exactly."""
+    from radar_tpu.models.layers import TransformerEncoder
+    x = jnp.ones((2, 16, 32), jnp.float32)
+    enc_r = TransformerEncoder(depth=2, num_heads=4, remat=True,
+                               dropout_rate=0.1)
+    params = enc_r.init(jax.random.key(0), x)["params"]
+
+    def loss(p):
+        return jnp.sum(enc_r.apply({"params": p}, x,
+                                   deterministic=False,
+                                   rngs={"dropout": jax.random.key(1)}))
+    g = jax.grad(loss)(params)
+    from jax.flatten_util import ravel_pytree
+    assert jnp.isfinite(ravel_pytree(g)[0]).all()
+
+    enc = TransformerEncoder(depth=2, num_heads=4, remat=False,
+                             dropout_rate=0.1)
+    np.testing.assert_allclose(
+        np.asarray(enc.apply({"params": params}, x)),
+        np.asarray(enc_r.apply({"params": params}, x)), atol=1e-6)
