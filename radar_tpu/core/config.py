@@ -235,10 +235,15 @@ class RAGConfig(ConfigBase):
     # image-neighbour corroboration (round-3): observations voted by
     # >= min_votes of the top_m visually-nearest indexed reports, with
     # expert prob in (prob_floor, threshold], join the loop's expected
-    # set. 0 disables.
-    corroborate_top_m: int = 5
-    corroborate_min_votes: int = 3
-    corroborate_prob_floor: float = 0.15
+    # set. 0 disables.  Defaults precision-tuned by
+    # scripts/corroborate_sweep.py (leak-free, gnn expert, 128
+    # studies): 10/6/0.35 gives candidate precision 0.83 vs 0.33 at
+    # the old 5/3/0.15 — the loop only adds what it can defend, so it
+    # beats single-pass on micro-F1 without inflating hallucination
+    # (loop 0.827 vs single-pass 0.818, halluc flat).
+    corroborate_top_m: int = 10
+    corroborate_min_votes: int = 6
+    corroborate_prob_floor: float = 0.35
     # cross-modal veto (round-3, VERDICT r2 #4): an expert-positive
     # observation (prob > threshold) only enters the prompt/expected
     # set if the expert is strongly confident (prob > veto_prob) OR at

@@ -309,6 +309,11 @@ def test_corroborate_observations_gating(cfg, tokenizer):
             "Atelectasis.",
         ]
 
+    # pin the gating knobs (defaults are precision-tuned for the real
+    # index; this test's fake index has only 4 passages)
+    cfg = cfg.override(**{"rag.corroborate_top_m": 5,
+                          "rag.corroborate_min_votes": 3,
+                          "rag.corroborate_prob_floor": 0.15})
     pipe = RadarPipeline(cfg, tokenizer)
     pipe.dpr = _FakeDpr()
     probs = np.full((1, 14), 0.02, np.float32)
