@@ -35,6 +35,10 @@ def build_parser():
         description="Measure batched end-to-end report throughput")
     parser.add_argument("--model_type", type=str, default="baseline")
     parser.add_argument("--expert_checkpoint", type=str, default=None)
+    parser.add_argument("--ensemble_expert", action="append",
+                        default=[], metavar="TYPE:CKPT_DIR",
+                        help="Extra expert member(s) for probability-"
+                             "averaged ensembling (repeatable)")
     parser.add_argument("--retrieval_checkpoint", type=str,
                         default="./checkpoints/retrieval_system")
     parser.add_argument("--passages", type=int, default=1024)
