@@ -252,7 +252,8 @@ class SwinStage(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, *, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True):
+        # positional-or-keyword so nn.remat can mark it static
         for j in range(self.depth):
             x = SwinBlock(self.dim, self.num_heads,
                           self.input_resolution, self.window_size,
@@ -300,14 +301,18 @@ class SwinV2Transformer(nn.Module):
 
         res = (gh, gw)
         dim = cfg.hidden_size
-        stage_cls = nn.remat(SwinStage) if self.remat else SwinStage
+        # deterministic passed POSITIONALLY: under remat it is the
+        # static_argnums=(2,) argument (self=0, x=1)
+        stage_cls = (nn.remat(SwinStage, static_argnums=(2,),
+                              prevent_cse=False)
+                     if self.remat else SwinStage)
         for i, depth in enumerate(depths):
             x = stage_cls(dim, depth, heads[i], res, cfg.window_size,
                           mlp_ratio=cfg.mlp_ratio,
                           dropout_rate=cfg.dropout_rate,
                           downsample=(i < len(depths) - 1),
                           dtype=self.dtype, name=f"stage_{i}")(
-                x, deterministic=deterministic)
+                x, deterministic)
             if i < len(depths) - 1:
                 res = ((res[0] + 1) // 2, (res[1] + 1) // 2)
                 dim *= 2

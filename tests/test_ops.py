@@ -133,3 +133,30 @@ def test_transformer_encoder_remat_trains_and_matches():
     np.testing.assert_allclose(
         np.asarray(enc.apply({"params": params}, x)),
         np.asarray(enc_r.apply({"params": params}, x)), atol=1e-6)
+
+
+def test_swin_remat_trains_and_matches():
+    """Same static_argnums wiring for the SwinV2 stage remat: grad
+    with train-mode dropout must work and the remat forward must match
+    non-remat exactly."""
+    from radar_tpu.core.config import VisionConfig
+    from radar_tpu.models.swin import SwinV2Transformer
+    cfg = VisionConfig(image_size=32, patch_size=4, hidden_size=16,
+                       depths=(1, 1), num_heads=2, window_size=4,
+                       dropout_rate=0.1, arch="swinv2")
+    x = jnp.ones((1, 32, 32, 3))
+    enc_r = SwinV2Transformer(cfg, remat=True)
+    params = enc_r.init(jax.random.key(0), x)["params"]
+
+    def loss(p):
+        return jnp.sum(enc_r.apply(
+            {"params": p}, x, deterministic=False,
+            rngs={"dropout": jax.random.key(1)})["pooler_output"])
+    from jax.flatten_util import ravel_pytree
+    assert jnp.isfinite(ravel_pytree(jax.grad(loss)(params))[0]).all()
+
+    enc = SwinV2Transformer(cfg, remat=False)
+    np.testing.assert_allclose(
+        np.asarray(enc.apply({"params": params}, x)["pooler_output"]),
+        np.asarray(enc_r.apply({"params": params}, x)["pooler_output"]),
+        atol=1e-6)
