@@ -1,0 +1,61 @@
+#!/usr/bin/env bash
+# Round-3 TPU supervisor: the axon relay stalls for tens of minutes
+# some nights (a wedged connection never errors, it just hangs).
+# This waits for any prior chain to exit, probes the relay with a
+# short-timeout matmul (distinct value per probe — the relay replay-
+# caches identical computations), and once alive runs the remaining
+# TPU stages end-to-end: quality preset (P5.1) then the round-3f
+# artifact regen.  Every stage is idempotent (per-epoch train resume,
+# evals re-run), so whole-script retries are safe.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+
+log() { echo "[$(date +%H:%M:%S)] $*"; }
+
+# 1. wait for a prior chain (if any) to exit
+if [ -f /tmp/quality_chain.pid ]; then
+  PID=$(cat /tmp/quality_chain.pid)
+  while kill -0 "$PID" 2>/dev/null; do
+    log "waiting for prior chain pid $PID to exit"
+    sleep 60
+  done
+fi
+
+probe() {
+  timeout 120 python - <<'EOF' >/dev/null 2>&1
+import time, jax.numpy as jnp
+x = jnp.ones((256, 256)) * (1.0 + (time.time() % 97) * 1e-6)
+float((x @ x).sum())
+EOF
+}
+
+for attempt in $(seq 1 12); do
+  log "relay probe (attempt $attempt)"
+  if ! probe; then
+    log "relay still stalled; sleeping 10 min"
+    sleep 600
+    continue
+  fi
+  log "relay alive; running quality chain"
+  if bash scripts/quality_pipeline_round3.sh \
+       >> /tmp/quality_chain.log 2>&1; then
+    log "quality chain DONE"
+    break
+  fi
+  log "quality chain failed; retrying after 5 min"
+  sleep 300
+done
+
+for attempt in $(seq 1 8); do
+  log "relay probe before round-3f (attempt $attempt)"
+  if ! probe; then sleep 600; continue; fi
+  log "running round-3f regen"
+  if bash scripts/regen_round3f_pipeline.sh \
+       >> /tmp/r3f_regen.log 2>&1; then
+    log "round-3f regen DONE"
+    break
+  fi
+  log "round-3f regen failed; retrying after 5 min"
+  sleep 300
+done
+log "supervisor exit"
