@@ -29,6 +29,12 @@ def add_data_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--synthetic", action="store_true",
                         help="Use the synthetic dataset (no files needed)")
     parser.add_argument("--synthetic_size", type=int, default=256)
+    parser.add_argument("--synthetic_noise", type=float, default=None,
+                        help="Override the synthetic image noise sigma "
+                             "(default 0.35) — distribution-shift eval")
+    parser.add_argument("--synthetic_shift_seed", type=int, default=0,
+                        help="Offset the synthetic generator seed "
+                             "family (held-out distribution eval)")
     parser.add_argument("--context_leak_fraction", type=float,
                         default=1.0,
                         help="Fraction of synthetic samples whose "
@@ -152,11 +158,14 @@ def build_datasets(args, cfg: RadarConfig, tokenizer: Tokenizer,
                  "val": max(32, args.synthetic_size // 4),
                  "test": max(32, args.synthetic_size // 4)}
         leak = getattr(args, "context_leak_fraction", 1.0)
+        noise = getattr(args, "synthetic_noise", None)
+        shift = getattr(args, "synthetic_shift_seed", 0) or 0
         for i, split in enumerate(splits):
+            kw = {} if noise is None else {"noise": noise}
             out[split] = SyntheticCXRDataset(
                 sizes.get(split, 64), cfg.vision.image_size,
-                cfg.text.max_length, seed=100 + i, tokenizer=tokenizer,
-                leak_fraction=leak)
+                cfg.text.max_length, seed=100 + i + shift,
+                tokenizer=tokenizer, leak_fraction=leak, **kw)
     else:
         for split in splits:
             out[split] = ExpertModelDataset(
