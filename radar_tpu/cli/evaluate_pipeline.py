@@ -171,9 +171,13 @@ def main(argv=None):
             raise SystemExit("--leakage_free applies to synthetic data")
         # same seed as build_datasets' test split -> identical
         # labels/images/reports, only the context string changes
+        # (honouring the distribution-shift knobs)
+        kw = ({} if args.synthetic_noise is None
+              else {"noise": args.synthetic_noise})
         test_ds = SyntheticCXRDataset(
             len(test_ds), cfg.vision.image_size, cfg.text.max_length,
-            seed=101, tokenizer=tokenizer, leak_labels=False)
+            seed=101 + (args.synthetic_shift_seed or 0),
+            tokenizer=tokenizer, leak_labels=False, **kw)
 
     pipe = build_pipeline_from_args(args, cfg, tokenizer, train_ds)
 

@@ -38,6 +38,11 @@ bash $R /tmp/r3f_pipe_blind.log 900 3 \
   python -m radar_tpu.cli.evaluate_pipeline $PIPE $ENS \
   --output_path results/pipeline_evaluation.json
 
+# distribution-shift robustness witness (noise 0.5 vs trained 0.35,
+# unseen seed family): end-to-end leak-free + grounding under shift
+run_pipe leakfree_grounded_shifted --leakage_free --grounding \
+  --synthetic_noise 0.5 --synthetic_shift_seed 1000
+
 # gnn-solo loop ablation pair (no ensemble): the loop-value witness
 echo "=== pipeline eval: gnn-solo loop ablation  ($(date))"
 bash $R /tmp/r3f_pipe_abl_loop.log 900 3 \
@@ -62,6 +67,7 @@ python - <<'EOF'
 import json
 rows = [("leakfree_singlepass",), ("leakfree",), ("leakfree_grounded",),
         ("singlepass",), ("",), ("guided",), ("grounded",), ("verified",),
+        ("leakfree_grounded_shifted",),
         ("leakfree_gnnsolo_singlepass",), ("leakfree_gnnsolo",)]
 for (n,) in rows:
     f = f"results/pipeline_evaluation{'_'+n if n else ''}.json"
