@@ -455,7 +455,8 @@ class RadarPipeline:
     def generate_reports_batch(self, images: list[np.ndarray],
                                clinical_contexts: list[str],
                                reference_texts: list[str] | None = None,
-                               verify_grounding: bool = False
+                               verify_grounding: bool = False,
+                               prior_images: list[np.ndarray] | None = None
                                ) -> list[dict]:
         """Batched serving path: the expert forward, image embedding and
         every RAG-iteration decode run as single batched XLA programs
@@ -463,10 +464,31 @@ class RadarPipeline:
         control is per-study.  Converged studies keep decoding inside
         the fixed batch (their outputs are frozen host-side) so shapes
         stay static — the TPU-friendly trade.
+
+        ``prior_images`` (optional, with a temporal model): ONE batched
+        progression forward over all (current, prior) pairs; the
+        comparison statements are appended to each study's clinical
+        context before the expert/decoder stages — batched parity with
+        ``generate_report(prior_image=…)`` (contribution 3.1).
         """
         n = len(images)
         refs = reference_texts or [None] * n
         cfg = self.config.rag
+
+        temporal_stmts: list[str | None] = [None] * n
+        progression = None
+        if prior_images is not None and self._temporal_fwd is not None:
+            from ..models.temporal import comparison_statements
+            logits = np.asarray(self._temporal_fwd(
+                self.temporal_params,
+                jnp.asarray(np.stack(images), jnp.float32),
+                jnp.asarray(np.stack(prior_images), jnp.float32)))
+            progression = np.argmax(logits, -1)          # [B, 14]
+            temporal_stmts = [comparison_statements(progression[i])
+                              for i in range(n)]
+            clinical_contexts = [
+                f"{clinical_contexts[i]} Comparison: {temporal_stmts[i]}"
+                for i in range(n)]
 
         image_embeddings = None
         if self.dpr is not None:
@@ -668,6 +690,9 @@ class RadarPipeline:
                 "expert_observations": expert_obs[i],
                 "retrieved_passages": retrieved[i],
                 **({"grounding": grounding[i]} if grounding[i] else {}),
+                **({"comparison": temporal_stmts[i],
+                    "progression": progression[i].tolist()}
+                   if temporal_stmts[i] is not None else {}),
             })
         return results
 

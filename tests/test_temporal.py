@@ -130,3 +130,43 @@ def test_temporal_artifact_per_class_floors():
         assert v["progression_macro_f1"] >= 0.60, block
         assert v["per_class"]["improved"]["f1"] >= 0.40, block
         assert v["per_class"]["worsened"]["f1"] >= 0.40, block
+
+
+def test_temporal_batched_serving_parity(cfg, tokenizer):
+    """Batched serving (contribution 3.1): prior images run through ONE
+    batched progression forward and the comparison statements condition
+    every study's prompt — parity with generate_report(prior_image=…)."""
+    import jax
+    import numpy as np
+
+    from radar_tpu.data.synthetic import SyntheticLongitudinalDataset
+    from radar_tpu.models.temporal import TemporalComparator
+    from radar_tpu.pipeline.radar import RadarPipeline
+
+    model = TemporalComparator(cfg.vision, cfg.expert)
+    ds = SyntheticLongitudinalDataset(4, cfg.vision.image_size, seed=3)
+    b = next(ds.batches(2))
+    params = model.init(jax.random.key(0), b["pixel_values"],
+                        b["prior_pixel_values"])["params"]
+
+    prompts = []
+
+    class _SpyPipe(RadarPipeline):
+        def _batch_generate(self, contexts, image_embeddings,
+                            banned_mask=None):
+            prompts.append(list(contexts))
+            return ["The lungs are clear."] * len(contexts)
+
+    pipe = _SpyPipe(cfg, tokenizer, temporal_model=model,
+                    temporal_params=params)
+    out = pipe.generate_reports_batch(
+        [np.asarray(b["pixel_values"][i]) for i in range(2)],
+        ["Indication: f/u", "Indication: f/u"],
+        prior_images=[np.asarray(b["prior_pixel_values"][i])
+                      for i in range(2)])
+    assert len(out) == 2
+    for i in range(2):
+        assert "comparison" in out[i]
+        assert len(out[i]["progression"]) == 14
+        assert "Comparison:" in prompts[0][i]
+        assert out[i]["comparison"] in prompts[0][i]
