@@ -149,9 +149,28 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
                                               sample_batch)
         ensemble.append((m_model, m_params, load_calibration(m_ckpt)))
 
+    # temporal comparator (contribution 3.1 serving hook)
+    temporal_model = temporal_params = None
+    tckpt = getattr(args, "temporal_checkpoint", None)
+    if tckpt:
+        from ..core.checkpoint import CheckpointManager
+        from ..models.temporal import TemporalComparator
+        temporal_model = TemporalComparator(cfg.vision, cfg.expert)
+        dummy = jnp.zeros((1, cfg.vision.image_size,
+                           cfg.vision.image_size, 3), jnp.float32)
+        temporal_params = temporal_model.init(
+            jax.random.key(0), dummy, dummy)["params"]
+        mngr = CheckpointManager(os.path.join(tckpt, "comparator"))
+        temporal_params = mngr.restore(jax.device_get(temporal_params))
+        mngr.close()
+        logger.info("restored temporal comparator from %s", tckpt)
+
     return RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
                          decoder, decoder_params, fusion_module,
-                         fusion_params, ring=ring,
+                         fusion_params,
+                         temporal_model=temporal_model,
+                         temporal_params=temporal_params,
+                         ring=ring,
                          expert_thresholds=load_calibration(
                              args.expert_checkpoint),
                          ensemble=ensemble)

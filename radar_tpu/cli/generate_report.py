@@ -19,18 +19,12 @@ import json
 import os
 import time
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.checkpoint import load_params
 from ..core.logging import get_logger
-from ..models.decoder import ReportDecoder
-from ..pipeline.radar import RadarPipeline
-from ..retrieval.dpr import create_dpr_model
 from .common import (add_common_args, make_tokenizer, add_data_args, build_datasets,
                      load_config)
-from .evaluate_expert_models import load_model_params
 
 logger = get_logger("radar_tpu.generate")
 
@@ -40,12 +34,29 @@ def build_parser():
         description="Generate a radiology report for one study")
     parser.add_argument("--model_type", type=str, default="baseline")
     parser.add_argument("--expert_checkpoint", type=str, default=None)
+    parser.add_argument("--ensemble_expert", action="append",
+                        default=[], metavar="TYPE:CKPT_DIR",
+                        help="Extra expert member(s) for probability-"
+                             "averaged ensembling (repeatable)")
     parser.add_argument("--retrieval_checkpoint", type=str,
                         default="./checkpoints/retrieval_system")
+    parser.add_argument("--temporal_checkpoint", type=str, default=None,
+                        help="TemporalComparator checkpoint dir "
+                             "(contribution 3.1) — enables --prior_*")
     parser.add_argument("--sample", type=int, default=0,
                         help="Index into the test split to report on")
     parser.add_argument("--image", type=str, default=None,
                         help="Path to an image file instead of --sample")
+    parser.add_argument("--prior_image", type=str, default=None,
+                        help="Path to a PRIOR study image — the "
+                             "progression classifier conditions the "
+                             "report on interval change")
+    parser.add_argument("--prior_sample", type=int, default=None,
+                        help="Test-split index of a prior study image "
+                             "(synthetic demo of the temporal hook)")
+    parser.add_argument("--grounding", action="store_true",
+                        help="Run the contribution-3.3 hallucination "
+                             "pass on the generated report")
     parser.add_argument("--context", type=str, default="",
                         help="Clinical context string (with --image)")
     parser.add_argument("--passages", type=int, default=64,
@@ -62,45 +73,24 @@ def main(argv=None):
     datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
     train_ds, test_ds = datasets["train"], datasets["test"]
 
-    sample_batch = next(iter(train_ds.batches(2)))
-    if "raw_images" in sample_batch:
-        sample_batch = train_ds.device_batch(sample_batch)
-    expert, expert_params = load_model_params(
-        args.model_type, args.expert_checkpoint, cfg, sample_batch)
-
-    dpr = create_dpr_model(cfg, tokenizer)
-    emb_ckpt = os.path.join(args.retrieval_checkpoint, "embedder")
-    if os.path.isdir(emb_ckpt):
-        dpr.embedder.params = load_params(
-            emb_ckpt, {"params": dpr.embedder.params})["params"]
-        logger.info("restored embedder from %s", emb_ckpt)
-    n = min(args.passages, len(train_ds))
-    dpr.build_retrieval_database(train_ds.get_passages()[:n],
-                                 train_ds.get_observations()[:n])
-
-    decoder = ReportDecoder(cfg.decoder)
-    did = jnp.zeros((1, 8), jnp.int32)
-    dmask = jnp.ones((1, 8), jnp.int32)
-    dprefix = jnp.zeros((1, cfg.decoder.prefix_dim), jnp.float32)
-    decoder_params = decoder.init(jax.random.key(1), did, dmask,
-                                  dprefix)["params"]
-    dec_ckpt = os.path.join(args.retrieval_checkpoint, "decoder")
-    if os.path.isdir(dec_ckpt):
-        decoder_params = load_params(
-            dec_ckpt, {"params": jax.device_get(decoder_params)})["params"]
-        logger.info("restored decoder from %s", dec_ckpt)
-
-    from .evaluate_expert_models import load_calibration
-    pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
-                         decoder, decoder_params,
-                         expert_thresholds=load_calibration(
-                             args.expert_checkpoint))
+    # one shared assembly path with the evaluation/serving-bench CLIs
+    # (expert + optional ensemble + retrieval + decoder + fusion +
+    # optional temporal comparator)
+    from .evaluate_pipeline import build_pipeline_from_args
+    pipe = build_pipeline_from_args(args, cfg, tokenizer, train_ds)
 
     from ..data.dataset import preprocess_images
 
     def model_ready(raw_uint8):
         return np.asarray(preprocess_images(
             jnp.asarray(raw_uint8)[None], cfg.vision.image_size)[0])
+
+    def ds_image(idx):
+        s = test_ds[idx]
+        # synthetic samples are pre-normalised; real samples carry raw
+        # uint8 that must be resized + ImageNet-normalised first
+        return (s["pixel_values"] if "pixel_values" in s
+                else model_ready(s["image"])), s
 
     if args.image:
         from PIL import Image
@@ -109,17 +99,27 @@ def main(argv=None):
         context = args.context or "No clinical context available."
         reference = None
     else:
-        s = test_ds[args.sample]
-        # synthetic samples are pre-normalised; real samples carry raw
-        # uint8 that must be resized + ImageNet-normalised first
-        img = (s["pixel_values"] if "pixel_values" in s
-               else model_ready(s["image"]))
+        img, s = ds_image(args.sample)
         context = s["clinical_context"]
         reference = s.get("report")
 
+    prior = None
+    if args.prior_image:
+        from PIL import Image
+        with Image.open(args.prior_image) as im:
+            prior = model_ready(np.asarray(im.convert("RGB"), np.uint8))
+    elif args.prior_sample is not None:
+        prior, _ = ds_image(args.prior_sample)
+    if prior is not None and pipe._temporal_fwd is None:
+        raise SystemExit("--prior_* needs --temporal_checkpoint")
+
     t0 = time.perf_counter()
-    out = pipe.generate_report(np.asarray(img, np.float32), context,
-                               reference_text=reference)
+    out = pipe.generate_report(
+        np.asarray(img, np.float32), context,
+        reference_text=reference,
+        prior_image=(None if prior is None
+                     else np.asarray(prior, np.float32)),
+        verify_grounding=args.grounding)
     latency = time.perf_counter() - t0
 
     print(json.dumps({
@@ -131,6 +131,10 @@ def main(argv=None):
         "num_retrieved": len(out["retrieved_passages"]),
         "latency_seconds": round(latency, 3),
         "reference": reference,
+        **({"comparison": out["comparison"]}
+           if "comparison" in out else {}),
+        **({"hallucinated": out["grounding"]["hallucinated"]}
+           if "grounding" in out else {}),
     }, indent=2))
     return out
 
