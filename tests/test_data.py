@@ -234,3 +234,34 @@ def test_tokenizer_left_truncation():
     a, _ = tok.encode("cardiomegaly present", 16, truncate="left")
     b, _ = tok.encode("cardiomegaly present", 16, truncate="right")
     np.testing.assert_array_equal(a, b)
+
+
+def test_distribution_shift_knobs(tokenizer):
+    """--synthetic_noise / --synthetic_shift_seed must actually change
+    the generated distribution (OOD-eval plumbing, round-3)."""
+    import argparse
+
+    import numpy as np
+
+    from radar_tpu.cli.common import build_datasets
+    from radar_tpu.core.config import tiny_config
+
+    cfg = tiny_config()
+    base = dict(synthetic=True, synthetic_size=32,
+                annotation_path="/nonexistent",
+                context_leak_fraction=0.0,
+                synthetic_noise=None, synthetic_shift_seed=0)
+    a0 = argparse.Namespace(**base)
+    a1 = argparse.Namespace(**{**base, "synthetic_noise": 0.7,
+                               "synthetic_shift_seed": 500})
+    d0 = build_datasets(a0, cfg, tokenizer, ("test",))["test"]
+    d1 = build_datasets(a1, cfg, tokenizer, ("test",))["test"]
+    # different seed family -> different labels
+    assert not np.array_equal(d0.labels, d1.labels)
+    # higher noise sigma -> visibly noisier images
+    s0 = np.std([d0.image(i).std() for i in range(4)])
+    assert np.mean([d1.image(i).std() for i in range(4)]) > \
+        np.mean([d0.image(i).std() for i in range(4)])
+    # defaults unchanged: same args -> identical dataset
+    d2 = build_datasets(a0, cfg, tokenizer, ("test",))["test"]
+    assert np.array_equal(d0.labels, d2.labels)
