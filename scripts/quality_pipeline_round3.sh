@@ -15,9 +15,11 @@ TRAIN="--synthetic --synthetic_size 4096 --context_leak_fraction 0.25 \
   --set train.eval_batch_size=128 --set train.remat=true"
 
 echo "=== quality expert (uncertainty)"
+# 20 epochs: ViT-B/16 from scratch underfits at 12 (val macro-F1 0.46
+# at epoch 6); per-epoch resume makes relay-stall retries cheap
 bash $R /tmp/q_expert.log 1200 3 \
   python -m radar_tpu.cli.train_expert_models --model_type uncertainty \
-  $TRAIN --epochs 12 \
+  $TRAIN --epochs 20 --resume \
   --output_dir ./checkpoints/quality/expert_models
 
 echo "=== quality retrieval system"
