@@ -38,15 +38,21 @@ ap = argparse.ArgumentParser()
 ap.add_argument("--num", type=int, default=48)
 ap.add_argument("--size", type=int, default=5120)
 ap.add_argument("--grounding", action="store_true", default=True)
+ap.add_argument("--model_type", type=str, default="uncertainty")
+ap.add_argument("--expert_checkpoint", type=str,
+                default="./checkpoints/expert_models/uncertainty")
+ap.add_argument("--ensemble_expert", action="append", default=[])
 ap.add_argument("--out", type=str, default="/tmp/halluc_attribution.json")
 d = ap.parse_args()
 
 argv = (f"--synthetic --tiny --synthetic_size {d.size} "
         f"--num_samples {d.num} --passages {d.size} "
         f"--set retrieval.capacity={d.size} "
-        f"--model_type uncertainty "
-        f"--expert_checkpoint ./checkpoints/expert_models/uncertainty "
+        f"--model_type {d.model_type} "
+        f"--expert_checkpoint {d.expert_checkpoint} "
         f"--leakage_free").split()
+for spec in d.ensemble_expert:
+    argv += ["--ensemble_expert", spec]
 args = build_parser().parse_args(argv)
 cfg = load_config(args)
 tokenizer = make_tokenizer(args, cfg)
