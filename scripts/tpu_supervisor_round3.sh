@@ -29,7 +29,7 @@ float((x @ x).sum())
 EOF
 }
 
-for attempt in $(seq 1 12); do
+for attempt in $(seq 1 36); do
   log "relay probe (attempt $attempt)"
   if ! probe; then
     log "relay still stalled; sleeping 10 min"
@@ -46,7 +46,7 @@ for attempt in $(seq 1 12); do
   sleep 300
 done
 
-for attempt in $(seq 1 8); do
+for attempt in $(seq 1 24); do
   log "relay probe before round-3f (attempt $attempt)"
   if ! probe; then sleep 600; continue; fi
   log "running round-3f regen"
