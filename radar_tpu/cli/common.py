@@ -159,7 +159,11 @@ def build_datasets(args, cfg: RadarConfig, tokenizer: Tokenizer,
                  "test": max(32, args.synthetic_size // 4)}
         leak = getattr(args, "context_leak_fraction", 1.0)
         noise = getattr(args, "synthetic_noise", None)
-        shift = getattr(args, "synthetic_shift_seed", 0) or 0
+        # scale the shift far past any per-index seed the base splits
+        # use (label seed 100+i, per-image noise seeds seed+7+idx):
+        # an additive offset < dataset size would REUSE training noise
+        # draws and base split label seeds — not a held-out family
+        shift = (getattr(args, "synthetic_shift_seed", 0) or 0) * 100_000
         for i, split in enumerate(splits):
             kw = {} if noise is None else {"noise": noise}
             out[split] = SyntheticCXRDataset(

@@ -195,7 +195,7 @@ def main(argv=None):
               else {"noise": args.synthetic_noise})
         test_ds = SyntheticCXRDataset(
             len(test_ds), cfg.vision.image_size, cfg.text.max_length,
-            seed=101 + (args.synthetic_shift_seed or 0),
+            seed=101 + (args.synthetic_shift_seed or 0) * 100_000,
             tokenizer=tokenizer, leak_labels=False, **kw)
 
     pipe = build_pipeline_from_args(args, cfg, tokenizer, train_ds)

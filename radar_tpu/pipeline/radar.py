@@ -169,21 +169,39 @@ class RadarPipeline:
         scores, ids = self.dpr.index.search(
             np.asarray(image_embeddings), cfg.corroborate_top_m)
         ids = np.asarray(ids)
+        # vote source: the index's stored multi-hot labels — the SAME
+        # quantity the precision sweep (scripts/corroborate_sweep.py)
+        # tuned the 10/6/0.35 defaults against and the veto channel
+        # reads; text re-detection is only a fallback for indexes
+        # built without observation labels (on real corpora the two
+        # diverge — a positive label need not be verbatim in the text)
+        obs_mat = np.asarray(getattr(self.dpr.index, "observations",
+                                     np.zeros((0, 0), np.float32)))
+        use_stored = obs_mat.size > 0 and bool(obs_mat.any())
+        nf = OBSERVATION_NAMES.index("No Finding")
         out = []
         for row in range(len(image_embeddings)):
             votes: dict[str, int] = {}
-            for pid in ids[row]:
-                if pid < 0 or int(pid) >= len(self.dpr.passages):
-                    continue
-                for name in self.rag.detector.detect_observations(
-                        self.dpr.passages[int(pid)]):
-                    votes[name] = votes.get(name, 0) + 1
+            valid = ids[row]
+            valid = valid[(valid >= 0) & (valid < self.dpr.index.count)]
+            if use_stored:
+                counts = obs_mat[valid].sum(0)       # [n_obs]
+                votes = {OBSERVATION_NAMES[j]: int(counts[j])
+                         for j in range(len(OBSERVATION_NAMES))
+                         if counts[j] > 0}
+            else:
+                for pid in valid:
+                    if int(pid) >= len(self.dpr.passages):
+                        continue
+                    for name in self.rag.detector.detect_observations(
+                            self.dpr.passages[int(pid)]):
+                        votes[name] = votes.get(name, 0) + 1
             cand = set()
             for name, v in votes.items():
                 if v < cfg.corroborate_min_votes:
                     continue
                 j = self._obs_index(name)
-                if j is None or j == OBSERVATION_NAMES.index("No Finding"):
+                if j is None or j == nf:
                     continue
                 p = float(probs[row, j])
                 # expert-gated: skip already-confident and vetoed
@@ -319,6 +337,22 @@ class RadarPipeline:
             probs = np.asarray(out["mean_probs"])[0]
             uncertainty = np.asarray(out["std_probs"])[0]
             th = np.asarray(self.expert_params["thresholds"])
+            confident_mask = (probs > th) & (uncertainty < max_uncertainty)
+        elif self._members:
+            # ensemble serving: member DISAGREEMENT is the predictive
+            # uncertainty (the MC-dropout std's role) — an observation
+            # is confident only when the mean clears the threshold AND
+            # the members agree
+            member_probs = [self._calibrated_probs(
+                self._expert_fwd, self.expert_params, pv, tid, tmask)]
+            for (m_fwd, m_params, _) in self._members:
+                member_probs.append(self._calibrated_probs(
+                    m_fwd, m_params, pv, tid, tmask))
+            stack = np.stack(member_probs)            # [M, 1, n_obs]
+            probs = stack.mean(0)[0]
+            uncertainty = stack.std(0)[0]
+            th = (threshold if threshold is not None
+                  else self._thresholds())
             confident_mask = (probs > th) & (uncertainty < max_uncertainty)
         else:
             probs = self._expert_probs(pv, tid, tmask)[0]
@@ -477,7 +511,14 @@ class RadarPipeline:
 
         temporal_stmts: list[str | None] = [None] * n
         progression = None
-        if prior_images is not None and self._temporal_fwd is not None:
+        if prior_images is not None:
+            if self._temporal_fwd is None:
+                raise ValueError("prior_images given but the pipeline "
+                                 "was built without a temporal model")
+            if len(prior_images) != n:
+                raise ValueError(f"{len(prior_images)} prior images "
+                                 f"for {n} studies")
+        if prior_images is not None:
             from ..models.temporal import comparison_statements
             logits = np.asarray(self._temporal_fwd(
                 self.temporal_params,

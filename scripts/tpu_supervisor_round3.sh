@@ -29,6 +29,7 @@ float((x @ x).sum())
 EOF
 }
 
+QUALITY_OK=0
 for attempt in $(seq 1 36); do
   log "relay probe (attempt $attempt)"
   if ! probe; then
@@ -40,11 +41,13 @@ for attempt in $(seq 1 36); do
   if bash scripts/quality_pipeline_round3.sh \
        >> /tmp/quality_chain.log 2>&1; then
     log "quality chain DONE"
+    QUALITY_OK=1
     break
   fi
   log "quality chain failed; retrying after 5 min"
   sleep 300
 done
+[ "$QUALITY_OK" = 1 ] || log "WARNING: quality chain NEVER SUCCEEDED"
 
 for attempt in $(seq 1 24); do
   log "relay probe before round-3f (attempt $attempt)"

@@ -259,7 +259,6 @@ def test_distribution_shift_knobs(tokenizer):
     # different seed family -> different labels
     assert not np.array_equal(d0.labels, d1.labels)
     # higher noise sigma -> visibly noisier images
-    s0 = np.std([d0.image(i).std() for i in range(4)])
     assert np.mean([d1.image(i).std() for i in range(4)]) > \
         np.mean([d0.image(i).std() for i in range(4)])
     # defaults unchanged: same args -> identical dataset
