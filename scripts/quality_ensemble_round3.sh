@@ -64,7 +64,7 @@ run_pipe quality_leakfree_grounded --leakage_free --grounding
 
 echo "=== quality serving throughput (ensemble) ($(date))"
 bash $R /tmp/qe_serving.log 1800 3 \
-  python -m radar_tpu.cli.bench_serving --synthetic \
+  python -m radar_tpu.cli.bench_serving --synthetic --synthetic_size 1024 \
   --model_type gnn --expert_checkpoint $OUT/gnn $ENS \
   --retrieval_checkpoint ./checkpoints/quality/retrieval_system \
   --passages 1024 --serve_batch 64 --num_batches 3 \

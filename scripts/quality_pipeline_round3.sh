@@ -46,7 +46,7 @@ bash $R /tmp/q_pipe_lf.log 1800 3 \
 
 echo "=== quality batched serving throughput (reports/sec)"
 bash $R /tmp/q_serving.log 1800 3 \
-  python -m radar_tpu.cli.bench_serving --synthetic \
+  python -m radar_tpu.cli.bench_serving --synthetic --synthetic_size 1024 \
   --model_type uncertainty \
   --expert_checkpoint ./checkpoints/quality/expert_models/uncertainty \
   --retrieval_checkpoint ./checkpoints/quality/retrieval_system \
