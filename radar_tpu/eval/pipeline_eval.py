@@ -53,6 +53,7 @@ def evaluate_pipeline(pipe, samples: list[dict],
     preds, labels = [], []
     iters, cons, lats = [], [], []
     factual, halluc_found = [], 0
+    stage_totals: dict[str, float] = {}
     for s in samples:
         t0 = time.perf_counter()
         out = pipe.generate_report(
@@ -61,6 +62,8 @@ def evaluate_pipeline(pipe, samples: list[dict],
             reference_text=s["report"] if use_reference else None,
             verify_grounding=verify_grounding)
         lats.append(time.perf_counter() - t0)
+        for stage, dt in out.get("timings", {}).items():
+            stage_totals[stage] = stage_totals.get(stage, 0.0) + dt
         report = out["report"]
         ref = s["report"]
         bleu1.append(M.bleu(report, [ref], 1))
@@ -107,6 +110,12 @@ def evaluate_pipeline(pipe, samples: list[dict],
         "average_iterations": float(np.mean(iters)),
         "consistency": float(np.mean(cons)),
         "latency_p50_seconds": lats_sorted[len(lats_sorted) // 2],
+        # mean seconds per study spent in each pipeline stage (includes
+        # the first study's compile cost — compare against p50 to
+        # separate compile amortisation from steady-state cost)
+        "latency_breakdown_mean_seconds": {
+            k: round(v / len(samples), 4)
+            for k, v in sorted(stage_totals.items())},
         "num_samples": len(samples),
         "mode": "reference-guided" if use_reference else "blind",
     }

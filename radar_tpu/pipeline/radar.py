@@ -16,6 +16,8 @@ side.
 
 from __future__ import annotations
 
+import time
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -755,16 +757,30 @@ class RadarPipeline:
         tokens banned inside the decode loop and residual mentions
         scrubbed (contribution 3.3).
         """
+        # per-stage host wall-clock: each stage materialises numpy /
+        # string outputs, so the timer captures dispatch + execution +
+        # transfer (the relay's round-trip cost shows up where it is
+        # actually paid)
+        timings: dict[str, float] = {}
+        _last = [time.perf_counter()]
+
+        def _mark(stage: str) -> None:
+            now = time.perf_counter()
+            timings[stage] = timings.get(stage, 0.0) + (now - _last[0])
+            _last[0] = now
+
         temporal_out = None
         if prior_image is not None and self._temporal_fwd is not None:
             temporal_out = self.compare_with_prior(image, prior_image)
             clinical_context = (f"{clinical_context} Comparison: "
                                 f"{temporal_out['statements']}")
+            _mark("temporal")
         # image embedding for retrieval + decoder conditioning
         image_embedding = None
         if self.dpr is not None:
             image_embedding = jnp.asarray(
                 self.dpr.embedder.embed_images([image]))
+            _mark("image_embed")
 
         # stage 1+2: calibrated expert observations, cross-modal veto
         # on positives (round-3)
@@ -785,6 +801,7 @@ class RadarPipeline:
                 name: p
                 for name, p in expert_out["confident_observations"].items()
                 if decisions[OBSERVATION_NAMES.index(name)]}
+            _mark("expert")
 
         # first-pass constrained decoding (contribution 3.3): expert-
         # refuted entities are banned in EVERY decode, not just repair
@@ -803,6 +820,7 @@ class RadarPipeline:
             clinical_context,
             (expert_out or {}).get("confident_observations"))
         preliminary = generation_fn(pf_context)
+        _mark("preliminary_decode")
 
         # stage 3+4: iterative RAG with targeted retrieval and
         # fusion-stage conflict filtering of supplementary findings.
@@ -821,6 +839,7 @@ class RadarPipeline:
             corroborated = self.corroborate_observations(
                 np.asarray(image_embedding),
                 expert_out["probs"][None])[0]
+            _mark("corroborate")
         allowed = None
         if expert_out is not None:
             from .grounding import GroundingVerifier
@@ -835,6 +854,7 @@ class RadarPipeline:
             expected_observations=expected | corroborated,
             initial_generation=preliminary,
             allowed_observations=allowed)
+        _mark("rag_loop")
 
         grounding = None
         final_text = rag_out["final_text"]
@@ -871,6 +891,8 @@ class RadarPipeline:
                 grounding["post_constrained"] = verifier.verify(
                     regen, expert_out["probs"], **vkw)
                 final_text = regen
+        if grounding is not None:
+            _mark("grounding")
 
         result = {
             "preliminary_findings": preliminary,
@@ -883,6 +905,7 @@ class RadarPipeline:
             "corroborated_observations": sorted(corroborated),
             "conflicting_passages": conflict_log,
             "rag": rag_out,
+            "timings": timings,
         }
         if temporal_out is not None:
             result["comparison"] = temporal_out["statements"]

@@ -103,6 +103,12 @@ def test_full_radar_pipeline(cfg, dataset, tokenizer):
     assert 0.0 <= out["consistency_score"] <= 1.0
     assert isinstance(out["expert_observations"], dict)
     assert isinstance(out["retrieved_passages"], list)
+    # per-stage latency breakdown: the serving-latency diagnostic
+    timings = out["timings"]
+    for stage in ("image_embed", "expert", "preliminary_decode",
+                  "rag_loop"):
+        assert timings[stage] > 0.0, stage
+    assert all(v >= 0.0 for v in timings.values())
 
 
 def test_expert_ensemble_probability_averaging(cfg, dataset, tokenizer):
