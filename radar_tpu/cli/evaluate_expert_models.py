@@ -59,7 +59,10 @@ def load_model_params(model_type: str, ckpt_dir: str, cfg, sample_batch):
     if ckpt_dir and os.path.isdir(ckpt_dir):
         try:
             mngr = CheckpointManager(ckpt_dir)
-            params = mngr.restore(jax.device_get(params))
+            # restore to host numpy, then pin on device ONCE — jit
+            # re-uploads numpy args on every call, which dominated
+            # eval/serving latency through the axon relay
+            params = jax.device_put(mngr.restore(jax.device_get(params)))
             logger.info("restored %s from %s (step %s)", model_type,
                         ckpt_dir, mngr.latest_step())
             mngr.close()

@@ -56,7 +56,11 @@ def _normalized_image(sample: dict, cfg) -> np.ndarray:
 def _maybe_restore(path: str, params):
     if os.path.isdir(path):
         try:
-            return load_params(path, {"params": params})["params"]
+            import jax
+            # pin restored (host-numpy) params on device once — jit
+            # re-uploads numpy args on every call through the relay
+            return jax.device_put(
+                load_params(path, {"params": params})["params"])
         except Exception as e:  # pragma: no cover
             logger.warning("restore failed from %s: %s", path, e)
     return params

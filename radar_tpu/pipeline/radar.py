@@ -50,17 +50,22 @@ class RadarPipeline:
                                              np.float32)
                                   if expert_thresholds is not None
                                   else None)
+        # Pin every param pytree on device ONCE.  Orbax restores host
+        # numpy arrays, and jit re-uploads numpy args on EVERY call —
+        # through the axon relay that re-upload dominated serving
+        # latency (quality preset: ~15 s/study for a ~0.3 s compute).
+        _pin = (lambda p: None if p is None else jax.device_put(p))
         self.config = config
         self.tokenizer = tokenizer
         self.expert_model = expert_model
-        self.expert_params = expert_params
+        self.expert_params = _pin(expert_params)
         self.dpr = dpr
         self.decoder = decoder
-        self.decoder_params = decoder_params
+        self.decoder_params = _pin(decoder_params)
         self.fusion_module = fusion_module
-        self.fusion_params = fusion_params
+        self.fusion_params = _pin(fusion_params)
         self.temporal_model = temporal_model
-        self.temporal_params = temporal_params
+        self.temporal_params = _pin(temporal_params)
         self.rag = IterativeRAG(config.rag)
         self._expert_fwd = None
         if expert_model is not None:
@@ -80,7 +85,7 @@ class RadarPipeline:
                 jax.jit(lambda p, pv, ids, msk, _mm=m_model:
                         _mm.apply({"params": p}, pv, ids, msk,
                                   deterministic=True)),
-                m_params, m_th))
+                _pin(m_params), m_th))
         self._fusion_fwd = None
         if fusion_module is not None:
             self._fusion_fwd = jax.jit(
@@ -177,8 +182,7 @@ class RadarPipeline:
         # reads; text re-detection is only a fallback for indexes
         # built without observation labels (on real corpora the two
         # diverge — a positive label need not be verbatim in the text)
-        obs_mat = np.asarray(getattr(self.dpr.index, "observations",
-                                     np.zeros((0, 0), np.float32)))
+        obs_mat = self._index_observations_host()
         use_stored = obs_mat.size > 0 and bool(obs_mat.any())
         nf = OBSERVATION_NAMES.index("No Finding")
         out = []
@@ -212,6 +216,22 @@ class RadarPipeline:
             out.append(cand)
         return out
 
+    def _index_observations_host(self) -> np.ndarray:
+        """Host copy of the index's stored multi-hot observation labels,
+        fetched once per (index object, count) — both vote channels read
+        it per study, and a device→host pull of the full matrix through
+        the relay is pure overhead on an index that never changes
+        mid-serving."""
+        idx = self.dpr.index
+        key = (id(idx), idx.count)
+        cached = getattr(self, "_obs_host_cache", None)
+        if cached is None or cached[0] != key:
+            obs = np.asarray(getattr(idx, "observations",
+                                     np.zeros((0, 0), np.float32)))
+            cached = (key, obs)
+            self._obs_host_cache = cached
+        return cached[1]
+
     def _neighbour_votes(self, image_embeddings) -> np.ndarray | None:
         """[B, n_obs] image-neighbour observation votes: how many of
         the ``rag.veto_top_m`` visually-nearest indexed reports carry
@@ -223,8 +243,8 @@ class RadarPipeline:
         if (self.dpr is None or image_embeddings is None
                 or cfg.veto_top_m <= 0 or self.dpr.index.count == 0):
             return None
-        obs = np.asarray(self.dpr.index.observations)
-        if not obs.any():
+        obs = self._index_observations_host()
+        if obs.size == 0 or not obs.any():
             return None
         _, ids = self.dpr.index.search(np.asarray(image_embeddings),
                                        cfg.veto_top_m)

@@ -73,7 +73,7 @@ class JittedEmbedder:
     def __init__(self, module: CrossModalEmbedder, params, tokenizer,
                  max_length: int = 128):
         self.module = module
-        self.params = params
+        self.params = params          # pinned on device via the setter
         self.tokenizer = tokenizer
         self.max_length = max_length
         self._encode_text = jax.jit(
@@ -85,6 +85,16 @@ class JittedEmbedder:
         self._text_hidden = jax.jit(
             lambda p, ids, m: module.apply({"params": p}, ids, m,
                                            method=module.text_hidden))
+
+    @property
+    def params(self):
+        return self._params
+
+    @params.setter
+    def params(self, p):
+        # Orbax restores host numpy; jit re-uploads numpy args on every
+        # call (seconds per call through the axon relay) — pin once.
+        self._params = None if p is None else jax.device_put(p)
 
     @classmethod
     def create(cls, vision_config: VisionConfig, text_config: TextConfig,

@@ -59,6 +59,10 @@ log "stage 5: quality preset (P5.1)"
 bash scripts/quality_pipeline_round3.sh >> /tmp/rb_quality.log 2>&1 \
   || log "WARNING: quality chain FAILED"
 
+log "stage 5b: quality ensemble (round-3 serving config at quality)"
+bash scripts/quality_ensemble_round3.sh >> /tmp/rb_quality_ens.log 2>&1 \
+  || log "WARNING: quality ensemble chain FAILED"
+
 log "stage 6: remaining experts + comparison artifacts + temporal"
 for m in baseline multitask; do
   bash $R "/tmp/rb_exp_$m.log" 420 4 \
