@@ -111,6 +111,39 @@ def test_full_radar_pipeline(cfg, dataset, tokenizer):
     assert all(v >= 0.0 for v in timings.values())
 
 
+def test_pipeline_pins_params_on_device(cfg, dataset, tokenizer):
+    """Host-numpy param pytrees (what Orbax restores) must be pinned
+    to device at pipeline construction — jit re-uploads numpy args on
+    EVERY call, and through the TPU relay that re-transfer dominated
+    quality-preset serving latency (~15 s/study for ~0.3 s compute)."""
+    expert = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    sample = dataset[0]
+    pv = jnp.asarray(sample["pixel_values"])[None]
+    ids = jnp.asarray(sample["input_ids"])[None]
+    mask = jnp.asarray(sample["attention_mask"])[None]
+    expert_params = jax.device_get(     # host numpy, like a restore
+        expert.init(jax.random.key(0), pv, ids, mask)["params"])
+    assert isinstance(jax.tree.leaves(expert_params)[0], np.ndarray)
+
+    decoder = ReportDecoder(cfg.decoder)
+    decoder_params = jax.device_get(decoder.init(
+        jax.random.key(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.zeros((1, cfg.decoder.prefix_dim), jnp.float32))["params"])
+
+    pipe = RadarPipeline(cfg, tokenizer, expert, expert_params,
+                         None, decoder, decoder_params)
+    for tree in (pipe.expert_params, pipe.decoder_params):
+        for leaf in jax.tree.leaves(tree):
+            assert isinstance(leaf, jax.Array), type(leaf)
+
+    # the embedder's params setter must pin external (re)assignments
+    dpr = create_dpr_model(cfg, tokenizer)
+    dpr.embedder.params = jax.device_get(dpr.embedder.params)
+    for leaf in jax.tree.leaves(dpr.embedder.params):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
+
 def test_expert_ensemble_probability_averaging(cfg, dataset, tokenizer):
     """Probability-averaged expert ensembling (round-3): the pipeline's
     expert stage with extra members must gate on the MEAN of the
