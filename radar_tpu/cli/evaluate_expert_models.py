@@ -122,6 +122,11 @@ def main(argv=None):
         ckpt = args.checkpoint or os.path.join(args.checkpoint_dir,
                                                model_type)
         model, params = load_model_params(model_type, ckpt, cfg, sample)
+        # replicate over the EVAL mesh: a bare (single-device) commit
+        # would make the sharded eval step reshard params every batch
+        from jax.sharding import NamedSharding, PartitionSpec
+        params = jax.device_put(
+            params, NamedSharding(mesh, PartitionSpec()))
         if model_type == "uncertainty":
             evaluator.evaluate_uncertainty_model(
                 model_type, model, params, mc_samples=args.mc_samples)

@@ -77,8 +77,19 @@ def save_params(path: str, params: Any) -> None:
     ckptr.wait_until_finished()
 
 
-def load_params(path: str, template: Any | None = None) -> Any:
+def load_params(path: str, template: Any | None = None, *,
+                pin: bool = True) -> Any:
+    """Params-only restore.  ``pin=True`` (default) device_puts the
+    restored pytree once: Orbax yields HOST NUMPY, and jit re-uploads
+    numpy arguments on every call — through the TPU relay that
+    re-transfer dominated serving latency (~15 s/study at the quality
+    preset).  Pass ``pin=False`` when the caller immediately re-shards
+    (e.g. a trainer placing state on a mesh)."""
+    import jax
+
     ckptr = ocp.StandardCheckpointer()
     if template is not None:
-        return ckptr.restore(os.path.abspath(path), target=template)
-    return ckptr.restore(os.path.abspath(path))
+        out = ckptr.restore(os.path.abspath(path), target=template)
+    else:
+        out = ckptr.restore(os.path.abspath(path))
+    return jax.device_put(out) if pin else out

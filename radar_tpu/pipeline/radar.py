@@ -32,7 +32,31 @@ from ..retrieval.dpr import DensePassageRetrieval
 logger = get_logger("radar_tpu.pipeline")
 
 
+def _pinning_property(name: str) -> property:
+    """Param-pytree attribute that pins assignments on device.  Orbax
+    restores HOST NUMPY, and jit re-uploads numpy args on EVERY call —
+    through the TPU relay that re-transfer dominated serving latency
+    (~15 s/study at the quality preset for ~0.3 s of compute).  A
+    property (not a one-time ``device_put`` in ``__init__``) keeps
+    post-construction reassignment (``pipe.decoder_params = …``)
+    pinned too."""
+    attr = "_" + name
+
+    def _get(self):
+        return getattr(self, attr)
+
+    def _set(self, p):
+        setattr(self, attr, None if p is None else jax.device_put(p))
+
+    return property(_get, _set)
+
+
 class RadarPipeline:
+    expert_params = _pinning_property("expert_params")
+    decoder_params = _pinning_property("decoder_params")
+    fusion_params = _pinning_property("fusion_params")
+    temporal_params = _pinning_property("temporal_params")
+
     def __init__(self, config: RadarConfig, tokenizer,
                  expert_model=None, expert_params=None,
                  dpr: DensePassageRetrieval | None = None,
@@ -50,22 +74,17 @@ class RadarPipeline:
                                              np.float32)
                                   if expert_thresholds is not None
                                   else None)
-        # Pin every param pytree on device ONCE.  Orbax restores host
-        # numpy arrays, and jit re-uploads numpy args on EVERY call —
-        # through the axon relay that re-upload dominated serving
-        # latency (quality preset: ~15 s/study for a ~0.3 s compute).
-        _pin = (lambda p: None if p is None else jax.device_put(p))
         self.config = config
         self.tokenizer = tokenizer
         self.expert_model = expert_model
-        self.expert_params = _pin(expert_params)
+        self.expert_params = expert_params        # pinning properties
         self.dpr = dpr
         self.decoder = decoder
-        self.decoder_params = _pin(decoder_params)
+        self.decoder_params = decoder_params
         self.fusion_module = fusion_module
-        self.fusion_params = _pin(fusion_params)
+        self.fusion_params = fusion_params
         self.temporal_model = temporal_model
-        self.temporal_params = _pin(temporal_params)
+        self.temporal_params = temporal_params
         self.rag = IterativeRAG(config.rag)
         self._expert_fwd = None
         if expert_model is not None:
@@ -85,7 +104,8 @@ class RadarPipeline:
                 jax.jit(lambda p, pv, ids, msk, _mm=m_model:
                         _mm.apply({"params": p}, pv, ids, msk,
                                   deterministic=True)),
-                _pin(m_params), m_th))
+                None if m_params is None else jax.device_put(m_params),
+                m_th))
         self._fusion_fwd = None
         if fusion_module is not None:
             self._fusion_fwd = jax.jit(
@@ -223,14 +243,16 @@ class RadarPipeline:
         the relay is pure overhead on an index that never changes
         mid-serving."""
         idx = self.dpr.index
-        key = (id(idx), idx.count)
         cached = getattr(self, "_obs_host_cache", None)
-        if cached is None or cached[0] != key:
+        # key on the index OBJECT (not id(): a GC'd index's id can be
+        # recycled) + count (the only mutation, `add`, bumps it)
+        if (cached is None or cached[0] is not idx
+                or cached[1] != idx.count):
             obs = np.asarray(getattr(idx, "observations",
                                      np.zeros((0, 0), np.float32)))
-            cached = (key, obs)
+            cached = (idx, idx.count, obs)
             self._obs_host_cache = cached
-        return cached[1]
+        return cached[2]
 
     def _neighbour_votes(self, image_embeddings) -> np.ndarray | None:
         """[B, n_obs] image-neighbour observation votes: how many of

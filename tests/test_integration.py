@@ -137,6 +137,11 @@ def test_pipeline_pins_params_on_device(cfg, dataset, tokenizer):
         for leaf in jax.tree.leaves(tree):
             assert isinstance(leaf, jax.Array), type(leaf)
 
+    # post-construction reassignment must stay pinned too
+    pipe.decoder_params = jax.device_get(pipe.decoder_params)
+    for leaf in jax.tree.leaves(pipe.decoder_params):
+        assert isinstance(leaf, jax.Array), type(leaf)
+
     # the embedder's params setter must pin external (re)assignments
     dpr = create_dpr_model(cfg, tokenizer)
     dpr.embedder.params = jax.device_get(dpr.embedder.params)
