@@ -77,7 +77,7 @@ for n in ("quality", "quality_leakfree", "quality_leakfree_grounded"):
     print(f"{n:28s} bleu4={d['bleu_4']:.4f} "
           f"microF1={d['observation_micro_f1']:.4f} "
           f"halluc={d.get('hallucination_rate', float('nan')):.3f} "
-          f"p50={d.get('latency_p50_s', float('nan')):.3f}s")
+          f"p50={d.get('latency_p50_seconds', float('nan')):.3f}s")
 s = json.load(open("results/serving_throughput_quality.json"))
 print("serving:", {k: s[k] for k in list(s)[:6]})
 EOF
