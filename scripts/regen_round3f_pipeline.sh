@@ -43,6 +43,15 @@ bash $R /tmp/r3f_pipe_blind.log 900 3 \
 run_pipe leakfree_grounded_shifted --leakage_free --grounding \
   --synthetic_noise 0.5 --synthetic_shift_seed 1000
 
+# shifted loop-vs-singlepass ablation: under shift the experts are
+# weaker (0.75-0.87 macro-F1, expert_model_comparison_shifted.json),
+# so this is where the retrieval channel has the most to rescue —
+# the strongest loop-value witness
+run_pipe leakfree_shifted --leakage_free \
+  --synthetic_noise 0.5 --synthetic_shift_seed 1000
+run_pipe leakfree_shifted_singlepass --leakage_free --max_iterations 1 \
+  --synthetic_noise 0.5 --synthetic_shift_seed 1000
+
 # gnn-solo loop ablation pair (no ensemble): the loop-value witness
 echo "=== pipeline eval: gnn-solo loop ablation  ($(date))"
 bash $R /tmp/r3f_pipe_abl_loop.log 900 3 \
@@ -68,6 +77,7 @@ import json
 rows = [("leakfree_singlepass",), ("leakfree",), ("leakfree_grounded",),
         ("singlepass",), ("",), ("guided",), ("grounded",), ("verified",),
         ("leakfree_grounded_shifted",),
+        ("leakfree_shifted_singlepass",), ("leakfree_shifted",),
         ("leakfree_gnnsolo_singlepass",), ("leakfree_gnnsolo",)]
 for (n,) in rows:
     f = f"results/pipeline_evaluation{'_'+n if n else ''}.json"
