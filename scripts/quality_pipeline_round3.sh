@@ -28,29 +28,9 @@ bash $R /tmp/q_retr.log 1200 3 \
   $TRAIN --epochs 3 --embedder_epochs 12 --lm_epochs 10 \
   --output_dir ./checkpoints/quality/retrieval_system
 
-PIPE="--synthetic --synthetic_size 1024 --num_samples 64 \
-  --passages 1024 --set retrieval.capacity=1024 \
-  --model_type uncertainty \
-  --expert_checkpoint ./checkpoints/quality/expert_models/uncertainty \
-  --retrieval_checkpoint ./checkpoints/quality/retrieval_system"
+# NOTE: the uncertainty-solo pipeline/serving evals that used to live
+# here were dropped — scripts/quality_ensemble_round3.sh regenerates
+# the same artifact filenames at the shipping ensemble config right
+# after, so the solo evals were ~1 h of chip time thrown away.
 
-echo "=== quality pipeline eval (blind informative)"
-bash $R /tmp/q_pipe.log 1800 3 \
-  python -m radar_tpu.cli.evaluate_pipeline $PIPE \
-  --output_path results/pipeline_evaluation_quality.json
-
-echo "=== quality pipeline eval (leak-free)"
-bash $R /tmp/q_pipe_lf.log 1800 3 \
-  python -m radar_tpu.cli.evaluate_pipeline $PIPE --leakage_free \
-  --output_path results/pipeline_evaluation_quality_leakfree.json
-
-echo "=== quality batched serving throughput (reports/sec)"
-bash $R /tmp/q_serving.log 1800 3 \
-  python -m radar_tpu.cli.bench_serving --synthetic --synthetic_size 1024 \
-  --model_type uncertainty \
-  --expert_checkpoint ./checkpoints/quality/expert_models/uncertainty \
-  --retrieval_checkpoint ./checkpoints/quality/retrieval_system \
-  --passages 1024 --serve_batch 64 --num_batches 3 \
-  --output results/serving_throughput_quality.json
-
-echo "=== DONE quality_pipeline_round3"
+echo "=== DONE quality_pipeline_round3 (training only; evals in quality_ensemble_round3.sh)"
