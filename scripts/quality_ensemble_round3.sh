@@ -20,6 +20,25 @@ TRAIN="--synthetic --synthetic_size 4096 --context_leak_fraction 0.25 \
   --set train.eval_batch_size=128 --set train.remat=true"
 OUT=./checkpoints/quality/expert_models
 
+echo "=== early latency witness: uncertainty-solo quality eval ($(date))"
+# The checked-in pipeline_evaluation_quality{,_leakfree}.json came from
+# the pre-device-pinning pilot (p50 15.1 s — the host-numpy re-upload
+# bug, since fixed).  Refresh them solo FIRST, with the 20-epoch
+# uncertainty ckpt that already exists, so a fixed-latency
+# production-scale witness is on disk even if the ~4 h of ensemble
+# training below gets cut off; the ensemble regen overwrites them with
+# the shipping config afterwards.
+SOLO="--synthetic --synthetic_size 1024 --num_samples 64 \
+  --passages 1024 --set retrieval.capacity=1024 \
+  --model_type uncertainty --expert_checkpoint $OUT/uncertainty \
+  --retrieval_checkpoint ./checkpoints/quality/retrieval_system"
+bash $R /tmp/qe_pipe_solo.log 1800 2 \
+  python -m radar_tpu.cli.evaluate_pipeline $SOLO \
+  --output_path results/pipeline_evaluation_quality.json || true
+bash $R /tmp/qe_pipe_solo_lf.log 1800 2 \
+  python -m radar_tpu.cli.evaluate_pipeline $SOLO --leakage_free \
+  --output_path results/pipeline_evaluation_quality_leakfree.json || true
+
 echo "=== quality expert: uncertainty resume -> 32 epochs ($(date))"
 bash $R /tmp/qe_unc.log 1200 3 \
   python -m radar_tpu.cli.train_expert_models --model_type uncertainty \
