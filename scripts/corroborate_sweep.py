@@ -29,6 +29,9 @@ from radar_tpu.cli.evaluate_retrieval_system import _normalized_image
 from radar_tpu.core.constants import OBSERVATION_NAMES
 
 ap = argparse.ArgumentParser()
+ap.add_argument("--output", type=str, default="",
+                help="optional JSON artifact path (e.g. "
+                     "results/corroboration_sweep.json)")
 ap.add_argument("--num", type=int, default=128)
 ap.add_argument("--size", type=int, default=5120)
 ap.add_argument("--model_type", type=str, default="gnn")
@@ -91,6 +94,7 @@ print(f"{num} studies; expert decisions micro-precision "
 
 print(f"\n{'top_m':>5} {'votes':>5} {'floor':>5} | {'cand/study':>10} "
       f"{'precision':>9} {'rescued':>8} {'rescue%':>8}")
+sweep_rows = []
 for top_m in (5, 10, 20):
     votes = np.zeros_like(labels)
     for r in range(num):
@@ -110,3 +114,29 @@ for top_m in (5, 10, 20):
                   f"{n_cand / num:>10.2f} "
                   f"{tp / max(n_cand, 1):>9.3f} {tp:>8d} "
                   f"{tp / max(missed.sum(), 1):>8.3f}")
+            sweep_rows.append({
+                "top_m": top_m, "min_votes": min_votes, "floor": floor,
+                "candidates_per_study": float(n_cand / num),
+                "precision": float(tp / max(n_cand, 1)),
+                "rescued": int(tp),
+                "rescue_fraction": float(tp / max(missed.sum(), 1)),
+            })
+
+if d.output:
+    import json
+    missed_total = ((labels > .5) & ~expert_pos)
+    missed_total[:, nf] = False
+    with open(d.output, "w") as f:
+        json.dump({
+            "num_studies": int(num),
+            "model_type": d.model_type,
+            "ensemble": d.ensemble_expert,
+            "expert_micro_precision": float(
+                (expert_pos & (labels > .5)).sum()
+                / max(expert_pos.sum(), 1)),
+            "missed_positives": int(missed_total.sum()),
+            "serving_defaults": {"top_m": 10, "min_votes": 6,
+                                 "floor": 0.35},
+            "rows": sweep_rows,
+        }, f, indent=2)
+    print(f"\nwrote {d.output}")
