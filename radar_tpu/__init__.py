@@ -41,6 +41,10 @@ _EXPORTS = {
     "MultiTaskExpert": "radar_tpu.models.multitask",
     "GroundingVerifier": "radar_tpu.pipeline.grounding",
     "SyntheticLongitudinalDataset": "radar_tpu.data.synthetic",
+    # production serving frontend (net-new vs the reference, which has
+    # no serving layer at all — SURVEY.md §0.1)
+    "RadarServer": "radar_tpu.serving.server",
+    "ServerConfig": "radar_tpu.serving.server",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

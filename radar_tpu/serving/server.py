@@ -1,0 +1,270 @@
+"""Async dynamic-batching serving frontend for the RADAR pipeline.
+
+The reference has no serving layer at all (SURVEY.md §0.1: "No server.
+'CLI' = argparse in 4 scripts"); production deployment needs one, and
+the TPU makes its shape non-obvious: per-request calls waste the chip
+(a single study keeps the MXU <2% busy and pays the full relay/dispatch
+round-trip), while naive batching recompiles the jitted decode for
+every distinct batch size.  This server makes the TPU trade explicit:
+
+- requests are queued host-side and coalesced by a single batcher
+  thread (one thread owns ALL device calls — no locking inside the
+  pipeline, and XLA dispatch stays ordered);
+- each batch is padded up to a fixed BUCKET size (powers of two by
+  default), so the decode/expert/retrieval programs compile once per
+  bucket and are reused forever — the padded rows' compute is the
+  price of static shapes, measured and reported in ``stats()``;
+- requests with different serving options (grounding on/off, temporal
+  prior present) never share a batch: ``generate_reports_batch`` is
+  one XLA program per option signature, so mixing would force the
+  worst-case program on everyone.
+
+Usage::
+
+    server = RadarServer(pipeline, ServerConfig(max_batch_size=16))
+    fut = server.submit(image, "Indication: dyspnea.")
+    report = fut.result()["report"]
+    server.shutdown()
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import threading
+import time
+from collections import deque
+from concurrent.futures import Future
+
+import numpy as np
+
+from ..core.logging import get_logger
+
+logger = get_logger("radar_tpu.serving")
+
+
+@dataclasses.dataclass(frozen=True)
+class ServerConfig:
+    """Dynamic-batching knobs.
+
+    max_batch_size: largest batch handed to the pipeline (and the
+        largest bucket); bounded by decode memory at the serving
+        preset, not by the queue.
+    max_wait_ms: how long the batcher waits for more requests after
+        the first one arrives — the latency/throughput dial.  0 means
+        serve whatever is queued immediately (lowest latency, smallest
+        batches).
+    buckets: ascending static batch sizes to pad to.  Defaults to
+        powers of two up to ``max_batch_size``.  One XLA compile per
+        (bucket, option-signature) — keep this list short.
+    """
+
+    max_batch_size: int = 16
+    max_wait_ms: float = 20.0
+    buckets: tuple[int, ...] = ()
+
+    def resolved_buckets(self) -> tuple[int, ...]:
+        if self.buckets:
+            bs = tuple(sorted(set(self.buckets)))
+            if bs[-1] < self.max_batch_size:
+                bs = bs + (self.max_batch_size,)
+            return bs
+        out, b = [], 1
+        while b < self.max_batch_size:
+            out.append(b)
+            b *= 2
+        out.append(self.max_batch_size)
+        return tuple(out)
+
+
+class _Request:
+    __slots__ = ("image", "context", "reference_text", "prior_image",
+                 "verify_grounding", "future", "t_submit")
+
+    def __init__(self, image, context, reference_text, prior_image,
+                 verify_grounding):
+        self.image = image
+        self.context = context
+        self.reference_text = reference_text
+        self.prior_image = prior_image
+        self.verify_grounding = bool(verify_grounding)
+        self.future: Future = Future()
+        self.t_submit = time.perf_counter()
+
+    def options_key(self) -> tuple:
+        # batches must be homogeneous in the XLA programs they trigger
+        return (self.verify_grounding, self.prior_image is not None)
+
+
+class RadarServer:
+    """Queue + single batcher thread around ``RadarPipeline.
+    generate_reports_batch``.  ``submit`` is thread-safe and returns a
+    ``concurrent.futures.Future`` resolving to the pipeline's result
+    dict for that study (plus ``serving`` timing metadata)."""
+
+    def __init__(self, pipeline, config: ServerConfig | None = None):
+        self.pipeline = pipeline
+        self.config = config or ServerConfig()
+        if self.config.max_batch_size < 1:
+            raise ValueError("max_batch_size must be >= 1")
+        self._buckets = self.config.resolved_buckets()
+        self._queue: deque[_Request] = deque()
+        self._cv = threading.Condition()
+        self._closed = False
+        # instrumentation (batcher-thread-only writes)
+        self._latencies: deque[float] = deque(maxlen=4096)
+        self._queue_waits: deque[float] = deque(maxlen=4096)
+        self._batch_sizes: deque[int] = deque(maxlen=4096)
+        self._padded_rows = 0
+        self._served = 0
+        self._t_first = None
+        self._t_last = None
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="radar-batcher")
+        self._thread.start()
+
+    # ------------------------------------------------------------------
+    def submit(self, image: np.ndarray, clinical_context: str,
+               reference_text: str | None = None,
+               prior_image: np.ndarray | None = None,
+               verify_grounding: bool = False) -> Future:
+        req = _Request(image, clinical_context, reference_text,
+                       prior_image, verify_grounding)
+        with self._cv:
+            if self._closed:
+                raise RuntimeError("server is shut down")
+            self._queue.append(req)
+            self._cv.notify()
+        return req.future
+
+    def generate(self, image, clinical_context, **kw) -> dict:
+        """Blocking convenience: ``submit(...).result()``."""
+        return self.submit(image, clinical_context, **kw).result()
+
+    def shutdown(self, wait: bool = True) -> None:
+        """Stop accepting requests; drain the queue, then stop the
+        batcher thread."""
+        with self._cv:
+            self._closed = True
+            self._cv.notify()
+        if wait:
+            self._thread.join()
+
+    # ------------------------------------------------------------------
+    def _bucket(self, n: int) -> int:
+        for b in self._buckets:
+            if n <= b:
+                return b
+        return self._buckets[-1]
+
+    def _take_batch(self) -> list[_Request] | None:
+        """Block until work (or shutdown+empty), apply the max_wait_ms
+        coalescing window, and pop the largest homogeneous batch led by
+        the oldest request."""
+        with self._cv:
+            while not self._queue and not self._closed:
+                self._cv.wait()
+            if not self._queue:
+                return None            # closed and drained
+            # coalescing window: give followers a chance to join the
+            # leader's batch (skip when closed — drain fast)
+            deadline = time.perf_counter() + self.config.max_wait_ms / 1e3
+            while (not self._closed
+                   and len(self._queue) < self.config.max_batch_size):
+                remaining = deadline - time.perf_counter()
+                if remaining <= 0:
+                    break
+                self._cv.wait(timeout=remaining)
+            key = self._queue[0].options_key()
+            batch = []
+            # pop the leader + every same-key request behind it (order
+            # preserved for differently-keyed requests)
+            kept: deque[_Request] = deque()
+            while self._queue and len(batch) < self.config.max_batch_size:
+                r = self._queue.popleft()
+                if r.options_key() == key:
+                    batch.append(r)
+                else:
+                    kept.append(r)
+            kept.extend(self._queue)
+            self._queue.clear()
+            self._queue.extend(kept)
+            return batch
+
+    def _loop(self) -> None:
+        while True:
+            batch = self._take_batch()
+            if batch is None:
+                return
+            try:
+                self._serve(batch)
+            except Exception as e:          # noqa: BLE001 — propagate
+                logger.exception("batch failed")
+                for r in batch:
+                    if not r.future.done():
+                        r.future.set_exception(e)
+
+    def _serve(self, batch: list[_Request]) -> None:
+        n = len(batch)
+        bucket = self._bucket(n)
+        t0 = time.perf_counter()
+        # pad to the bucket by repeating the last request's study: the
+        # program shape stays static (one compile per bucket) and the
+        # padded rows are sliced off below
+        pad = bucket - n
+        images = [r.image for r in batch] + [batch[-1].image] * pad
+        contexts = ([r.context for r in batch]
+                    + [batch[-1].context] * pad)
+        refs = None
+        if any(r.reference_text is not None for r in batch):
+            refs = ([r.reference_text or "" for r in batch]
+                    + [batch[-1].reference_text or ""] * pad)
+        priors = None
+        if batch[0].prior_image is not None:
+            priors = ([r.prior_image for r in batch]
+                      + [batch[-1].prior_image] * pad)
+        results = self.pipeline.generate_reports_batch(
+            images, contexts, reference_texts=refs,
+            verify_grounding=batch[0].verify_grounding,
+            prior_images=priors)
+        t1 = time.perf_counter()
+        if self._t_first is None:
+            self._t_first = t0
+        self._t_last = t1
+        self._batch_sizes.append(n)
+        self._padded_rows += pad
+        self._served += n
+        for r, res in zip(batch, results):
+            res = dict(res)
+            res["serving"] = {
+                "batch_size": n,
+                "bucket": bucket,
+                "queue_wait_s": t0 - r.t_submit,
+                "batch_exec_s": t1 - t0,
+                "latency_s": t1 - r.t_submit,
+            }
+            self._latencies.append(t1 - r.t_submit)
+            self._queue_waits.append(t0 - r.t_submit)
+            r.future.set_result(res)
+
+    # ------------------------------------------------------------------
+    def stats(self) -> dict:
+        """Serving counters since construction (last 4096 requests for
+        the distributions)."""
+        lat = np.asarray(self._latencies, np.float64)
+        waits = np.asarray(self._queue_waits, np.float64)
+        sizes = np.asarray(self._batch_sizes, np.float64)
+        span = ((self._t_last - self._t_first)
+                if self._t_first is not None and self._t_last else 0.0)
+        pct = (lambda a, q: float(np.percentile(a, q)) if a.size else 0.0)
+        return {
+            "requests_served": self._served,
+            "batches": int(sizes.size),
+            "mean_batch_size": float(sizes.mean()) if sizes.size else 0.0,
+            "padded_row_fraction": (
+                self._padded_rows / max(self._served + self._padded_rows, 1)),
+            "reports_per_sec": self._served / span if span > 0 else 0.0,
+            "latency_p50_s": pct(lat, 50),
+            "latency_p95_s": pct(lat, 95),
+            "queue_wait_p50_s": pct(waits, 50),
+            "buckets": list(self._buckets),
+        }

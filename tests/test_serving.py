@@ -1,0 +1,149 @@
+"""Serving frontend: dynamic batching, bucket padding, option
+grouping, error propagation, and parity with a direct
+``generate_reports_batch`` call.  (Net-new capability — the reference
+has no serving layer, SURVEY.md §0.1.)"""
+
+import threading
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from radar_tpu.models.experts import create_model
+from radar_tpu.models.decoder import ReportDecoder
+from radar_tpu.pipeline.radar import RadarPipeline
+from radar_tpu.serving.server import RadarServer, ServerConfig
+
+
+@pytest.fixture(scope="module")
+def pipeline(cfg, dataset, tokenizer):
+    expert = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    s = dataset[0]
+    expert_params = expert.init(
+        jax.random.key(0), jnp.asarray(s["pixel_values"])[None],
+        jnp.asarray(s["input_ids"])[None],
+        jnp.asarray(s["attention_mask"])[None])["params"]
+    decoder = ReportDecoder(cfg.decoder)
+    decoder_params = decoder.init(
+        jax.random.key(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.zeros((1, cfg.decoder.prefix_dim), jnp.float32))["params"]
+    return RadarPipeline(cfg, tokenizer, expert, expert_params,
+                         None, decoder, decoder_params)
+
+
+def _studies(dataset, n):
+    return ([dataset[i]["pixel_values"] for i in range(n)],
+            [dataset[i]["clinical_context"] for i in range(n)])
+
+
+def test_bucket_resolution():
+    assert ServerConfig(max_batch_size=16).resolved_buckets() == \
+        (1, 2, 4, 8, 16)
+    assert ServerConfig(max_batch_size=6).resolved_buckets() == \
+        (1, 2, 4, 6)
+    assert ServerConfig(max_batch_size=8,
+                        buckets=(4, 2)).resolved_buckets() == (2, 4, 8)
+
+
+def test_parity_with_direct_batch(pipeline, dataset):
+    """A full bucket served through the server must produce exactly
+    the direct ``generate_reports_batch`` outputs (same shapes → same
+    XLA program → bitwise-identical greedy decode)."""
+    images, contexts = _studies(dataset, 4)
+    direct = pipeline.generate_reports_batch(images, contexts)
+
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=4, max_wait_ms=200.0))
+    futs = [server.submit(img, ctx)
+            for img, ctx in zip(images, contexts)]
+    results = [f.result(timeout=120) for f in futs]
+    server.shutdown()
+
+    for d, r in zip(direct, results):
+        assert r["report"] == d["report"]
+        assert r["expert_observations"] == d["expert_observations"]
+        assert r["serving"]["batch_size"] == 4
+        assert r["serving"]["bucket"] == 4
+        assert r["serving"]["latency_s"] > 0
+
+
+def test_coalescing_and_stats(pipeline, dataset):
+    """Concurrent submissions inside the wait window coalesce into one
+    batch; stats must reflect it."""
+    images, contexts = _studies(dataset, 3)
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=4, max_wait_ms=300.0))
+    futs = []
+
+    def submit(i):
+        futs.append(server.submit(images[i], contexts[i]))
+
+    threads = [threading.Thread(target=submit, args=(i,))
+               for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    for f in list(futs):
+        assert isinstance(f.result(timeout=120)["report"], str)
+    stats = server.stats()
+    server.shutdown()
+    assert stats["requests_served"] == 3
+    # all three landed within one 300 ms window on this host → one
+    # batch of 3 padded to bucket 4; allow a 2-batch split under
+    # extreme scheduler jitter
+    assert stats["batches"] <= 2
+    assert stats["mean_batch_size"] >= 1.5
+    if stats["batches"] == 1:
+        assert stats["padded_row_fraction"] == pytest.approx(0.25)
+    assert stats["latency_p50_s"] > 0
+    assert stats["reports_per_sec"] > 0
+
+
+def test_option_groups_never_share_a_batch(pipeline, dataset):
+    """grounding-on and grounding-off requests trigger different XLA
+    programs and must be served in separate batches."""
+    images, contexts = _studies(dataset, 4)
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=4, max_wait_ms=250.0))
+    futs = [server.submit(images[i], contexts[i],
+                          verify_grounding=(i % 2 == 1))
+            for i in range(4)]
+    results = [f.result(timeout=240) for f in futs]
+    server.shutdown()
+    plain = {r["serving"]["batch_size"] for i, r in enumerate(results)
+             if i % 2 == 0}
+    grounded = [r for i, r in enumerate(results) if i % 2 == 1]
+    assert plain == {2}
+    for r in grounded:
+        assert r["serving"]["batch_size"] == 2
+        assert "grounding" in r       # the grounded program really ran
+
+
+def test_error_propagates_to_futures(pipeline, dataset):
+    """A poisoned study fails its batch; the futures get the exception
+    and the server keeps serving afterwards."""
+    images, contexts = _studies(dataset, 1)
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=2, max_wait_ms=50.0))
+    bad = server.submit(np.zeros((3, 3), np.float32), "bad shape")
+    with pytest.raises(Exception):
+        bad.result(timeout=120)
+    ok = server.submit(images[0], contexts[0])
+    assert isinstance(ok.result(timeout=120)["report"], str)
+    server.shutdown()
+
+
+def test_shutdown_drains_and_rejects(pipeline, dataset):
+    images, contexts = _studies(dataset, 2)
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=2, max_wait_ms=10.0))
+    futs = [server.submit(img, ctx)
+            for img, ctx in zip(images, contexts)]
+    server.shutdown(wait=True)
+    for f in futs:
+        assert isinstance(f.result(timeout=1)["report"], str)
+    with pytest.raises(RuntimeError):
+        server.submit(images[0], contexts[0])
