@@ -1,0 +1,146 @@
+"""Async-serving latency/throughput bench: drive ``RadarServer`` with
+Poisson arrivals at one or more offered loads and record the latency
+distribution each load achieves — the production question ("what p95
+do I get at N requests/sec?") that the fixed-batch bench
+(``bench_serving``) cannot answer, because it measures saturated
+back-to-back batches with no queueing.
+
+One open-loop generator thread sleeps exponential gaps and submits;
+the server's single batcher thread does all device work, so the
+measured latency includes real queue-wait + dynamic-batch coalescing.
+
+Usage:
+    python -m radar_tpu.cli.bench_async_serving --serve_batch 16 \
+        --offered_load 4,16,64 --requests_per_load 96 \
+        --output results/serving_async.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from ..core.logging import get_logger
+from ..serving.server import RadarServer, ServerConfig
+from .common import (add_common_args, add_data_args, build_datasets,
+                     load_config, make_tokenizer)
+from .evaluate_pipeline import build_pipeline_from_args
+from .evaluate_retrieval_system import _normalized_image
+
+logger = get_logger("radar_tpu.bench_async_serving")
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(
+        description="Poisson-arrival latency bench for RadarServer")
+    parser.add_argument("--model_type", type=str, default="baseline")
+    parser.add_argument("--expert_checkpoint", type=str, default=None)
+    parser.add_argument("--ensemble_expert", action="append",
+                        default=[], metavar="TYPE:CKPT_DIR")
+    parser.add_argument("--retrieval_checkpoint", type=str,
+                        default="./checkpoints/retrieval_system")
+    parser.add_argument("--passages", type=int, default=1024)
+    parser.add_argument("--serve_batch", type=int, default=16,
+                        help="server max_batch_size (largest bucket)")
+    parser.add_argument("--max_wait_ms", type=float, default=30.0)
+    parser.add_argument("--offered_load", type=str, default="2,8,32",
+                        help="comma-separated requests/sec sweep")
+    parser.add_argument("--requests_per_load", type=int, default=64)
+    parser.add_argument("--grounding", action="store_true")
+    parser.add_argument("--output", type=str,
+                        default="results/serving_async.json")
+    add_data_args(parser)
+    add_common_args(parser)
+    return parser
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = load_config(args)
+    tokenizer = make_tokenizer(args, cfg)
+    datasets = build_datasets(args, cfg, tokenizer, ("train", "test"))
+    train_ds, test_ds = datasets["train"], datasets["test"]
+    pipe = build_pipeline_from_args(args, cfg, tokenizer, train_ds)
+
+    n_pool = min(len(test_ds), max(args.requests_per_load, 64))
+    studies = []
+    for i in range(n_pool):
+        s = test_ds[i]
+        meta = test_ds.sample_meta(i)
+        studies.append((_normalized_image(s, cfg),
+                        meta["clinical_context"]))
+
+    loads = [float(x) for x in args.offered_load.split(",") if x]
+    if not loads or any(x <= 0 for x in loads):
+        raise SystemExit(f"--offered_load needs positive rates, got "
+                         f"{args.offered_load!r}")
+    rng = np.random.default_rng(args.seed)
+    rows = []
+    server = RadarServer(pipe, ServerConfig(
+        max_batch_size=args.serve_batch,
+        max_wait_ms=args.max_wait_ms))
+    try:
+        # warmup: compile every bucket the sweep can hit (full bucket +
+        # singleton) so the first measured request isn't a compile
+        for b in (args.serve_batch, 1):
+            futs = [server.submit(*studies[i % n_pool],
+                                  verify_grounding=args.grounding)
+                    for i in range(b)]
+            for f in futs:
+                f.result()
+        for load in loads:
+            futs = []
+            t_start = time.perf_counter()
+            for i in range(args.requests_per_load):
+                futs.append(server.submit(
+                    *studies[i % n_pool],
+                    verify_grounding=args.grounding))
+                time.sleep(float(rng.exponential(1.0 / load)))
+            results = [f.result() for f in futs]
+            span = time.perf_counter() - t_start
+            lat = np.asarray([r["serving"]["latency_s"]
+                              for r in results])
+            waits = np.asarray([r["serving"]["queue_wait_s"]
+                                for r in results])
+            sizes = np.asarray([r["serving"]["batch_size"]
+                                for r in results])
+            rows.append({
+                "offered_load_rps": load,
+                "achieved_rps": len(results) / span,
+                "latency_p50_s": float(np.percentile(lat, 50)),
+                "latency_p95_s": float(np.percentile(lat, 95)),
+                "queue_wait_p50_s": float(np.percentile(waits, 50)),
+                "mean_batch_size": float(sizes.mean()),
+            })
+            logger.info("load %.1f rps: p50 %.3fs p95 %.3fs "
+                        "mean batch %.1f", load,
+                        rows[-1]["latency_p50_s"],
+                        rows[-1]["latency_p95_s"],
+                        rows[-1]["mean_batch_size"])
+    finally:
+        server.shutdown()
+
+    result = {
+        "backend": __import__("jax").default_backend(),
+        "serve_batch": args.serve_batch,
+        "max_wait_ms": args.max_wait_ms,
+        "grounding": bool(args.grounding),
+        "requests_per_load": args.requests_per_load,
+        "server_stats": server.stats(),
+        "loads": rows,
+        "measured": True,
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(args.output)),
+                exist_ok=True)
+    with open(args.output, "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps(result, indent=2))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -147,3 +147,21 @@ def test_shutdown_drains_and_rejects(pipeline, dataset):
         assert isinstance(f.result(timeout=1)["report"], str)
     with pytest.raises(RuntimeError):
         server.submit(images[0], contexts[0])
+
+
+def test_bench_async_serving_cli(tmp_path):
+    """The Poisson-arrival bench runs end-to-end on the tiny synthetic
+    config and writes a per-load latency artifact."""
+    from radar_tpu.cli.bench_async_serving import main
+    r = main(["--synthetic", "--tiny", "--synthetic_size", "32",
+              "--serve_batch", "4", "--offered_load", "50",
+              "--requests_per_load", "8", "--max_wait_ms", "30",
+              "--retrieval_checkpoint", str(tmp_path / "none"),
+              "--output", str(tmp_path / "async.json")])
+    assert r["measured"] and len(r["loads"]) == 1
+    row = r["loads"][0]
+    assert row["latency_p50_s"] > 0
+    assert row["achieved_rps"] > 0
+    assert 1 <= row["mean_batch_size"] <= 4
+    # warmup (serve_batch + 1) + the measured 8-request load
+    assert r["server_stats"]["requests_served"] == 13
