@@ -45,6 +45,7 @@ _EXPORTS = {
     # no serving layer at all — SURVEY.md §0.1)
     "RadarServer": "radar_tpu.serving.server",
     "ServerConfig": "radar_tpu.serving.server",
+    "RadarHTTPServer": "radar_tpu.serving.http",
 }
 
 __all__ = sorted(_EXPORTS) + ["__version__"]

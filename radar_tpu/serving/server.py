@@ -244,7 +244,8 @@ class RadarServer:
             }
             self._latencies.append(t1 - r.t_submit)
             self._queue_waits.append(t0 - r.t_submit)
-            r.future.set_result(res)
+            if not r.future.cancelled():
+                r.future.set_result(res)
 
     # ------------------------------------------------------------------
     def stats(self) -> dict:

@@ -165,3 +165,70 @@ def test_bench_async_serving_cli(tmp_path):
     assert 1 <= row["mean_batch_size"] <= 4
     # warmup (serve_batch + 1) + the measured 8-request load
     assert r["server_stats"]["requests_served"] == 13
+
+
+def test_http_endpoint(pipeline, dataset):
+    """HTTP front door: concurrent POSTs batch through the server;
+    bad requests get 400s; /stats and /healthz respond."""
+    import base64
+    import json as _json
+    import urllib.request
+    import urllib.error
+    from concurrent.futures import ThreadPoolExecutor
+
+    from radar_tpu.serving.http import RadarHTTPServer
+
+    images, contexts = _studies(dataset, 2)
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=2, max_wait_ms=200.0))
+    http = RadarHTTPServer(server)
+    base = f"http://{http.host}:{http.port}"
+
+    def post(path, payload):
+        req = urllib.request.Request(
+            f"{base}{path}", data=_json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            return r.status, _json.loads(r.read())
+
+    def body(i):
+        img = np.asarray(images[i], np.float32)
+        return {"image": {"b64": base64.b64encode(
+                              img.astype("<f4").tobytes()).decode(),
+                          "shape": list(img.shape)},
+                "clinical_context": contexts[i]}
+
+    try:
+        with ThreadPoolExecutor(2) as ex:
+            rs = list(ex.map(lambda i: post("/generate", body(i)),
+                             range(2)))
+        for status, out in rs:
+            assert status == 200
+            assert isinstance(out["report"], str)
+            assert out["serving"]["batch_size"] >= 1
+
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert r.status == 200
+        with urllib.request.urlopen(f"{base}/stats", timeout=30) as r:
+            stats = _json.loads(r.read())
+        assert stats["requests_served"] >= 2
+
+        # malformed: wrong payload size for the declared shape
+        try:
+            post("/generate", {"image": {"b64": "AAAA", "shape": [4, 4, 3]},
+                               "clinical_context": "x"})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+        # malformed: missing clinical_context
+        try:
+            post("/generate", {"image": {"data": [[0.0]]}})
+            raise AssertionError("expected 400")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    finally:
+        http.close()
+        server.shutdown()
+    # after shutdown the HTTP layer is closed too; server rejects
+    with pytest.raises(RuntimeError):
+        server.submit(images[0], contexts[0])
