@@ -91,6 +91,16 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _check_shape(self, image: np.ndarray) -> np.ndarray:
+        """Reject wrong-shaped images at the door (400) rather than
+        failing the whole batch on device (500) — a bad request must
+        never cost its batch-mates their decode."""
+        size = self.radar.pipeline.config.vision.image_size
+        if image.shape != (size, size, 3):
+            raise ValueError(f"image shape {list(image.shape)} != "
+                             f"expected [{size}, {size}, 3]")
+        return image
+
     def do_GET(self):                        # noqa: N802 (stdlib API)
         if self.path == "/healthz":
             self._reply(200, {"status": "ok"})
@@ -108,7 +118,7 @@ class _Handler(BaseHTTPRequestHandler):
             if not 0 < length <= _MAX_BODY:
                 raise ValueError(f"bad Content-Length {length}")
             req = json.loads(self.rfile.read(length))
-            image = _decode_image(req["image"])
+            image = self._check_shape(_decode_image(req["image"]))
             context = req["clinical_context"]
             if not isinstance(context, str):
                 raise ValueError("clinical_context must be a string")
@@ -116,7 +126,8 @@ class _Handler(BaseHTTPRequestHandler):
             if req.get("reference_text") is not None:
                 kw["reference_text"] = str(req["reference_text"])
             if req.get("prior_image") is not None:
-                kw["prior_image"] = _decode_image(req["prior_image"])
+                kw["prior_image"] = self._check_shape(
+                    _decode_image(req["prior_image"]))
             kw["verify_grounding"] = bool(req.get("verify_grounding",
                                                   False))
             fut = self.radar.submit(image, context, **kw)

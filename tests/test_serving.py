@@ -232,3 +232,39 @@ def test_http_endpoint(pipeline, dataset):
     # after shutdown the HTTP layer is closed too; server rejects
     with pytest.raises(RuntimeError):
         server.submit(images[0], contexts[0])
+
+
+def test_serve_cli_start(tmp_path):
+    """cli.serve boots pipeline + batcher + HTTP from flags; /healthz
+    and a real /generate round-trip respond."""
+    import base64
+    import json as _json
+    import urllib.request
+
+    from radar_tpu.cli.serve import start
+
+    http, server = start([
+        "--synthetic", "--tiny", "--synthetic_size", "32",
+        "--passages", "16", "--serve_batch", "2", "--port", "0",
+        "--retrieval_checkpoint", str(tmp_path / "none")])
+    try:
+        base = f"http://{http.host}:{http.port}"
+        with urllib.request.urlopen(f"{base}/healthz", timeout=30) as r:
+            assert r.status == 200
+        from radar_tpu.core.config import tiny_config
+        size = tiny_config().vision.image_size
+        img = np.zeros((size, size, 3), np.float32)
+        body = _json.dumps({
+            "image": {"b64": base64.b64encode(
+                img.astype("<f4").tobytes()).decode(),
+                "shape": [size, size, 3]},
+            "clinical_context": "Indication: cough."}).encode()
+        req = urllib.request.Request(
+            f"{base}/generate", data=body,
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=180) as r:
+            out = _json.loads(r.read())
+        assert isinstance(out["report"], str)
+    finally:
+        http.close()
+        server.shutdown()
