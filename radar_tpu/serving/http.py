@@ -35,6 +35,7 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import numpy as np
 
 from ..core.logging import get_logger
+from .server import QueueFull
 
 logger = get_logger("radar_tpu.serving.http")
 
@@ -131,6 +132,9 @@ class _Handler(BaseHTTPRequestHandler):
             kw["verify_grounding"] = bool(req.get("verify_grounding",
                                                   False))
             fut = self.radar.submit(image, context, **kw)
+        except QueueFull as e:               # backpressure: shed load
+            self._reply(429, {"error": str(e)})
+            return
         except RuntimeError as e:            # server shut down
             self._reply(503, {"error": str(e)})
             return

@@ -42,6 +42,11 @@ from ..core.logging import get_logger
 logger = get_logger("radar_tpu.serving")
 
 
+class QueueFull(RuntimeError):
+    """Raised by ``submit`` when the server's bounded queue is at
+    capacity — the caller should shed load or retry with backoff."""
+
+
 @dataclasses.dataclass(frozen=True)
 class ServerConfig:
     """Dynamic-batching knobs.
@@ -61,6 +66,10 @@ class ServerConfig:
     max_batch_size: int = 16
     max_wait_ms: float = 20.0
     buckets: tuple[int, ...] = ()
+    #: backpressure: reject submits beyond this queue depth with
+    #: QueueFull instead of letting latency grow unboundedly under
+    #: overload (0 = unbounded)
+    max_queue: int = 0
 
     def resolved_buckets(self) -> tuple[int, ...]:
         if self.buckets:
@@ -116,6 +125,7 @@ class RadarServer:
         self._batch_sizes: deque[int] = deque(maxlen=4096)
         self._padded_rows = 0
         self._served = 0
+        self._rejected = 0
         self._t_first = None
         self._t_last = None
         self._thread = threading.Thread(target=self._loop, daemon=True,
@@ -132,6 +142,11 @@ class RadarServer:
         with self._cv:
             if self._closed:
                 raise RuntimeError("server is shut down")
+            if (self.config.max_queue
+                    and len(self._queue) >= self.config.max_queue):
+                self._rejected += 1
+                raise QueueFull(
+                    f"queue at capacity ({self.config.max_queue})")
             self._queue.append(req)
             self._cv.notify()
         return req.future
@@ -259,6 +274,7 @@ class RadarServer:
         pct = (lambda a, q: float(np.percentile(a, q)) if a.size else 0.0)
         return {
             "requests_served": self._served,
+            "requests_rejected": self._rejected,
             "batches": int(sizes.size),
             "mean_batch_size": float(sizes.mean()) if sizes.size else 0.0,
             "padded_row_fraction": (

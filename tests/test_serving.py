@@ -268,3 +268,29 @@ def test_serve_cli_start(tmp_path):
     finally:
         http.close()
         server.shutdown()
+
+
+def test_backpressure_queue_full(pipeline, dataset):
+    """Bounded queue sheds load with QueueFull once at capacity; the
+    queued requests still complete and the rejection is counted."""
+    from radar_tpu.serving.server import QueueFull
+
+    images, contexts = _studies(dataset, 1)
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=1, max_wait_ms=0.0, max_queue=2))
+    # hold the batcher's attention with a first request, then fill the
+    # queue behind it
+    futs = [server.submit(images[0], contexts[0])]
+    rejected = 0
+    for _ in range(12):
+        try:
+            futs.append(server.submit(images[0], contexts[0]))
+        except QueueFull:
+            rejected += 1
+    assert rejected >= 1            # the queue really is bounded
+    for f in futs:
+        assert isinstance(f.result(timeout=300)["report"], str)
+    stats = server.stats()
+    server.shutdown()
+    assert stats["requests_rejected"] == rejected
+    assert stats["requests_served"] == len(futs)
