@@ -43,6 +43,9 @@ def main() -> None:
         cfg, batch = RadarConfig(), 256
     else:
         cfg, batch = serving_config(), 512
+    # operating-point probe (batch is a serving choice, not a model
+    # property): RADAR_BENCH_BATCH=1024 python bench.py
+    batch = int(os.environ.get("RADAR_BENCH_BATCH", batch))
     # e.g. RADAR_BENCH_CONFIG=serving_int8 / quality_aqt
     qmode = next((q for q in ("int8", "aqt") if preset.endswith(q)), None)
     if qmode:
