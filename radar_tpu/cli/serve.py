@@ -47,6 +47,9 @@ def build_parser():
                         help="0 picks a free port (printed at boot)")
     parser.add_argument("--serve_batch", type=int, default=16)
     parser.add_argument("--max_wait_ms", type=float, default=30.0)
+    parser.add_argument("--max_queue", type=int, default=256,
+                        help="reject submits beyond this queue depth "
+                             "with HTTP 429 (0 = unbounded)")
     add_data_args(parser)
     add_common_args(parser)
     return parser
@@ -64,7 +67,8 @@ def start(argv=None):
                                     datasets["train"])
     server = RadarServer(pipe, ServerConfig(
         max_batch_size=args.serve_batch,
-        max_wait_ms=args.max_wait_ms))
+        max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue))
     http = RadarHTTPServer(server, host=args.host, port=args.port)
     logger.info("RADAR serving on http://%s:%d (batch<=%d, wait %.0fms)",
                 http.host, http.port, args.serve_batch, args.max_wait_ms)

@@ -119,7 +119,10 @@ class RadarServer:
         self._queue: deque[_Request] = deque()
         self._cv = threading.Condition()
         self._closed = False
-        # instrumentation (batcher-thread-only writes)
+        # instrumentation (batcher-thread writes under _stats_lock;
+        # stats() snapshots under the same lock — a GET /stats during
+        # a batch would otherwise iterate a mutating deque)
+        self._stats_lock = threading.Lock()
         self._latencies: deque[float] = deque(maxlen=4096)
         self._queue_waits: deque[float] = deque(maxlen=4096)
         self._batch_sizes: deque[int] = deque(maxlen=4096)
@@ -242,12 +245,16 @@ class RadarServer:
             verify_grounding=batch[0].verify_grounding,
             prior_images=priors)
         t1 = time.perf_counter()
-        if self._t_first is None:
-            self._t_first = t0
-        self._t_last = t1
-        self._batch_sizes.append(n)
-        self._padded_rows += pad
-        self._served += n
+        with self._stats_lock:
+            if self._t_first is None:
+                self._t_first = t0
+            self._t_last = t1
+            self._batch_sizes.append(n)
+            self._padded_rows += pad
+            self._served += n
+            for r in batch:
+                self._latencies.append(t1 - r.t_submit)
+                self._queue_waits.append(t0 - r.t_submit)
         for r, res in zip(batch, results):
             res = dict(res)
             res["serving"] = {
@@ -257,8 +264,6 @@ class RadarServer:
                 "batch_exec_s": t1 - t0,
                 "latency_s": t1 - r.t_submit,
             }
-            self._latencies.append(t1 - r.t_submit)
-            self._queue_waits.append(t0 - r.t_submit)
             if not r.future.cancelled():
                 r.future.set_result(res)
 
@@ -266,20 +271,22 @@ class RadarServer:
     def stats(self) -> dict:
         """Serving counters since construction (last 4096 requests for
         the distributions)."""
-        lat = np.asarray(self._latencies, np.float64)
-        waits = np.asarray(self._queue_waits, np.float64)
-        sizes = np.asarray(self._batch_sizes, np.float64)
-        span = ((self._t_last - self._t_first)
-                if self._t_first is not None and self._t_last else 0.0)
+        with self._stats_lock:
+            lat = np.asarray(self._latencies, np.float64)
+            waits = np.asarray(self._queue_waits, np.float64)
+            sizes = np.asarray(self._batch_sizes, np.float64)
+            span = ((self._t_last - self._t_first)
+                    if self._t_first is not None and self._t_last else 0.0)
+            served, rejected = self._served, self._rejected
+            padded = self._padded_rows
         pct = (lambda a, q: float(np.percentile(a, q)) if a.size else 0.0)
         return {
-            "requests_served": self._served,
-            "requests_rejected": self._rejected,
+            "requests_served": served,
+            "requests_rejected": rejected,
             "batches": int(sizes.size),
             "mean_batch_size": float(sizes.mean()) if sizes.size else 0.0,
-            "padded_row_fraction": (
-                self._padded_rows / max(self._served + self._padded_rows, 1)),
-            "reports_per_sec": self._served / span if span > 0 else 0.0,
+            "padded_row_fraction": padded / max(served + padded, 1),
+            "reports_per_sec": served / span if span > 0 else 0.0,
             "latency_p50_s": pct(lat, 50),
             "latency_p95_s": pct(lat, 95),
             "queue_wait_p50_s": pct(waits, 50),
