@@ -51,6 +51,9 @@ def build_parser():
                         help="comma-separated requests/sec sweep")
     parser.add_argument("--requests_per_load", type=int, default=64)
     parser.add_argument("--grounding", action="store_true")
+    parser.add_argument("--serving_dp", type=int, default=0,
+                        help="N > 1: data-parallel serving over N "
+                             "devices (buckets become multiples of N)")
     parser.add_argument("--output", type=str,
                         default="results/serving_async.json")
     add_data_args(parser)
@@ -82,7 +85,8 @@ def main(argv=None):
     rows = []
     server = RadarServer(pipe, ServerConfig(
         max_batch_size=args.serve_batch,
-        max_wait_ms=args.max_wait_ms))
+        max_wait_ms=args.max_wait_ms,
+        batch_multiple=max(args.serving_dp, 1)))
     try:
         # warmup: compile every bucket the sweep can hit (full bucket +
         # singleton) so the first measured request isn't a compile

@@ -48,6 +48,9 @@ def build_parser():
     parser.add_argument("--context_parallel", type=int, default=0,
                         help="N > 1: ring-attention decoder prefills "
                              "sequence-sharded over N devices")
+    parser.add_argument("--serving_dp", type=int, default=0,
+                        help="N > 1: data-parallel serving over N "
+                             "devices (serve_batch must divide evenly)")
     parser.add_argument("--output", type=str,
                         default="results/serving_throughput.json")
     add_data_args(parser)

@@ -75,6 +75,11 @@ def build_parser():
                         help="N > 1: run decoder prefills with ring "
                              "attention sequence-sharded over N devices "
                              "(context parallelism; needs N devices)")
+    parser.add_argument("--serving_dp", type=int, default=0,
+                        help="N > 1: data-parallel serving — replicate "
+                             "params over N devices and shard batches "
+                             "across them (mutually exclusive with "
+                             "--context_parallel)")
     parser.add_argument("--output_path", type=str,
                         default="./results/pipeline_evaluation.json")
     add_data_args(parser)
@@ -138,6 +143,24 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
         ring = (Mesh(np.asarray(devs[:n_cp]), ("seq",)), "seq")
         logger.info("context parallelism: ring of %d devices", n_cp)
 
+    # data-parallel serving knob: replicate params over N chips and
+    # shard every batched stage's leading dim across them (throughput
+    # scale-out; the latency complement to --context_parallel)
+    serving_mesh = None
+    n_dp = getattr(args, "serving_dp", 0) or 0
+    if n_dp > 1:
+        if n_cp > 1:
+            raise SystemExit("--serving_dp and --context_parallel are "
+                             "mutually exclusive per pipeline")
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < n_dp:
+            raise SystemExit(f"--serving_dp {n_dp} needs {n_dp} "
+                             f"devices, have {len(devs)}")
+        serving_mesh = (Mesh(np.asarray(devs[:n_dp]), ("data",)),
+                        "data")
+        logger.info("data-parallel serving over %d devices", n_dp)
+
     # probability-averaged expert ensemble (decorrelated confident FPs)
     ensemble = []
     for spec in getattr(args, "ensemble_expert", []) or []:
@@ -170,7 +193,7 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
                          fusion_params,
                          temporal_model=temporal_model,
                          temporal_params=temporal_params,
-                         ring=ring,
+                         ring=ring, serving_mesh=serving_mesh,
                          expert_thresholds=load_calibration(
                              args.expert_checkpoint),
                          ensemble=ensemble)

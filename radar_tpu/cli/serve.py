@@ -50,6 +50,10 @@ def build_parser():
     parser.add_argument("--max_queue", type=int, default=256,
                         help="reject submits beyond this queue depth "
                              "with HTTP 429 (0 = unbounded)")
+    parser.add_argument("--serving_dp", type=int, default=0,
+                        help="N > 1: data-parallel serving over N "
+                             "devices (batch buckets become multiples "
+                             "of N)")
     add_data_args(parser)
     add_common_args(parser)
     return parser
@@ -68,7 +72,8 @@ def start(argv=None):
     server = RadarServer(pipe, ServerConfig(
         max_batch_size=args.serve_batch,
         max_wait_ms=args.max_wait_ms,
-        max_queue=args.max_queue))
+        max_queue=args.max_queue,
+        batch_multiple=max(args.serving_dp, 1)))
     http = RadarHTTPServer(server, host=args.host, port=args.port)
     logger.info("RADAR serving on http://%s:%d (batch<=%d, wait %.0fms)",
                 http.host, http.port, args.serve_batch, args.max_wait_ms)

@@ -39,14 +39,15 @@ def _pinning_property(name: str) -> property:
     (~15 s/study at the quality preset for ~0.3 s of compute).  A
     property (not a one-time ``device_put`` in ``__init__``) keeps
     post-construction reassignment (``pipe.decoder_params = …``)
-    pinned too."""
+    pinned too.  With a ``serving_mesh`` the pin REPLICATES the params
+    over the mesh (data-parallel serving)."""
     attr = "_" + name
 
     def _get(self):
         return getattr(self, attr)
 
     def _set(self, p):
-        setattr(self, attr, None if p is None else jax.device_put(p))
+        setattr(self, attr, None if p is None else self._pin(p))
 
     return property(_get, _set)
 
@@ -64,10 +65,36 @@ class RadarPipeline:
                  decoder_params=None,
                  fusion_module=None, fusion_params=None,
                  temporal_model=None, temporal_params=None,
-                 ring=None, expert_thresholds=None, ensemble=None):
+                 ring=None, expert_thresholds=None, ensemble=None,
+                 serving_mesh=None):
         #: optional (mesh, axis_name): context-parallel ring attention
         #: for decoder prefills (long-context serving over ICI)
         self.ring = ring
+        # data-parallel serving (set BEFORE any param assignment — the
+        # pinning properties consult these): params replicate over the
+        # mesh, batch-dim inputs shard along ``axis``, and every jitted
+        # stage compiles to ONE SPMD program spanning all mesh devices
+        # (XLA inserts no collectives for inference — rows are
+        # independent — so DP serving scales with chips over ICI).
+        # ``serving_mesh``: a Mesh or (mesh, axis_name).
+        self._rep_sharding = None
+        self._batch_sharding = None
+        self._mesh_size = 1
+        if serving_mesh is not None:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec
+            if isinstance(serving_mesh, tuple):
+                mesh, axis = serving_mesh
+            else:
+                mesh, axis = serving_mesh, serving_mesh.axis_names[0]
+            if ring is not None:
+                raise ValueError(
+                    "serving_mesh and ring (context parallelism) place "
+                    "arrays on different device sets — use one or the "
+                    "other per pipeline")
+            self._rep_sharding = NamedSharding(mesh, PartitionSpec())
+            self._batch_sharding = NamedSharding(mesh,
+                                                 PartitionSpec(axis))
+            self._mesh_size = int(mesh.shape[axis])
         #: per-class decision thresholds from the trainer's val-fitted
         #: calibration.json (uncertainty experts carry theirs in-params)
         self.expert_thresholds = (np.asarray(expert_thresholds,
@@ -104,7 +131,7 @@ class RadarPipeline:
                 jax.jit(lambda p, pv, ids, msk, _mm=m_model:
                         _mm.apply({"params": p}, pv, ids, msk,
                                   deterministic=True)),
-                None if m_params is None else jax.device_put(m_params),
+                None if m_params is None else self._pin(m_params),
                 m_th))
         self._fusion_fwd = None
         if fusion_module is not None:
@@ -118,6 +145,22 @@ class RadarPipeline:
                     {"params": p}, c, pr)["progression_logits"])
 
     # ------------------------------------------------------------------
+    def _pin(self, p):
+        """Device-pin a param pytree: replicated over the serving mesh
+        when one is set, else default single-device placement."""
+        if self._rep_sharding is not None:
+            return jax.device_put(p, self._rep_sharding)
+        return jax.device_put(p)
+
+    def _put_batch(self, x):
+        """Commit a batch-dim array for the jitted stages: sharded
+        along the serving mesh's data axis when one is set (leading dim
+        must be mesh-divisible — ``generate_reports_batch`` pads), else
+        a plain ``jnp.asarray``."""
+        if self._batch_sharding is not None:
+            return jax.device_put(jnp.asarray(x), self._batch_sharding)
+        return jnp.asarray(x)
+
     @staticmethod
     def _member_thresholds(params, thresholds) -> np.ndarray | float:
         """One member's decision thresholds: in-params (uncertainty,
@@ -519,12 +562,12 @@ class RadarPipeline:
         ids, mask = self.tokenizer.encode_batch(contexts, max_prompt,
                                                 truncate="left")
         tokens = generate(
-            self.decoder, self.decoder_params, jnp.asarray(ids),
-            jnp.asarray(mask), prefix_embedding=image_embeddings,
+            self.decoder, self.decoder_params, self._put_batch(ids),
+            self._put_batch(mask), prefix_embedding=image_embeddings,
             max_new_tokens=max_new,
             temperature=0.0,
             banned_mask=(None if banned_mask is None
-                         else jnp.asarray(banned_mask)),
+                         else self._put_batch(banned_mask)),
             ring=self.ring)
         tokens = np.asarray(tokens)
         return [self.tokenizer.decode(tokens[i])
@@ -549,6 +592,22 @@ class RadarPipeline:
         context before the expert/decoder stages — batched parity with
         ``generate_report(prior_image=…)`` (contribution 3.1).
         """
+        # data-parallel serving: every batched program's leading dim
+        # must divide the mesh — pad by repeating the last study and
+        # slice the padded rows off the returned results
+        n_req = len(images)
+        if self._mesh_size > 1 and n_req % self._mesh_size:
+            pad = -n_req % self._mesh_size
+            images = list(images) + [images[-1]] * pad
+            clinical_contexts = (list(clinical_contexts)
+                                 + [clinical_contexts[-1]] * pad)
+            if reference_texts is not None:
+                reference_texts = (list(reference_texts)
+                                   + [reference_texts[-1]] * pad)
+            if prior_images is not None:
+                prior_images = (list(prior_images)
+                                + [prior_images[-1]] * pad)
+
         n = len(images)
         refs = reference_texts or [None] * n
         cfg = self.config.rag
@@ -566,8 +625,9 @@ class RadarPipeline:
             from ..models.temporal import comparison_statements
             logits = np.asarray(self._temporal_fwd(
                 self.temporal_params,
-                jnp.asarray(np.stack(images), jnp.float32),
-                jnp.asarray(np.stack(prior_images), jnp.float32)))
+                self._put_batch(np.stack(images).astype(np.float32)),
+                self._put_batch(
+                    np.stack(prior_images).astype(np.float32))))
             progression = np.argmax(logits, -1)          # [B, 14]
             temporal_stmts = [comparison_statements(progression[i])
                               for i in range(n)]
@@ -577,8 +637,11 @@ class RadarPipeline:
 
         image_embeddings = None
         if self.dpr is not None:
-            image_embeddings = jnp.asarray(
-                self.dpr.embedder.embed_images(list(images)))
+            # the embedder runs on its own (single-device) placement;
+            # re-commit its output with the batch sharding so the
+            # decoder prefix rides the same SPMD program as the ids
+            image_embeddings = self._put_batch(
+                np.asarray(self.dpr.embedder.embed_images(list(images))))
 
         # stage 2 (batched): calibrated expert observations, with the
         # cross-modal image-neighbour veto on positives (round-3)
@@ -589,8 +652,8 @@ class RadarPipeline:
             ids, mask = self.tokenizer.encode_batch(
                 clinical_contexts, self.config.text.max_length)
             probs = self._expert_probs(
-                jnp.asarray(np.stack(images)), jnp.asarray(ids),
-                jnp.asarray(mask))
+                self._put_batch(np.stack(images)), self._put_batch(ids),
+                self._put_batch(mask))
             th = np.broadcast_to(
                 np.asarray(self._thresholds(), np.float32),
                 probs.shape[-1:])
@@ -779,7 +842,7 @@ class RadarPipeline:
                     "progression": progression[i].tolist()}
                    if temporal_stmts[i] is not None else {}),
             })
-        return results
+        return results[:n_req]
 
     def generate_report(self, image: np.ndarray, clinical_context: str,
                         reference_text: str | None = None,

@@ -70,19 +70,25 @@ class ServerConfig:
     #: QueueFull instead of letting latency grow unboundedly under
     #: overload (0 = unbounded)
     max_queue: int = 0
+    #: every bucket is rounded UP to a multiple of this — set to the
+    #: data-parallel serving mesh size so padded batches shard evenly
+    #: across chips (``RadarPipeline(serving_mesh=…)``)
+    batch_multiple: int = 1
 
     def resolved_buckets(self) -> tuple[int, ...]:
+        m = max(int(self.batch_multiple), 1)
+        up = lambda b: -(-b // m) * m
         if self.buckets:
-            bs = tuple(sorted(set(self.buckets)))
-            if bs[-1] < self.max_batch_size:
-                bs = bs + (self.max_batch_size,)
-            return bs
+            bs = sorted({up(b) for b in self.buckets})
+            if bs[-1] < up(self.max_batch_size):
+                bs.append(up(self.max_batch_size))
+            return tuple(bs)
         out, b = [], 1
         while b < self.max_batch_size:
-            out.append(b)
+            out.append(up(b))
             b *= 2
-        out.append(self.max_batch_size)
-        return tuple(out)
+        out.append(up(self.max_batch_size))
+        return tuple(sorted(set(out)))
 
 
 class _Request:

@@ -174,6 +174,19 @@ def test_evaluate_pipeline_cli_context_parallel(tmp_path):
     assert np.isfinite(r["bleu_4"])
 
 
+def test_evaluate_pipeline_cli_serving_dp(tmp_path):
+    """--serving_dp N builds RadarPipeline(serving_mesh=...): params
+    replicate over N devices, batches shard across them, and the full
+    pipeline (expert + retrieval + RAG decode) evaluates end-to-end."""
+    from radar_tpu.cli.evaluate_pipeline import main
+    r = main(["--synthetic", "--tiny", "--synthetic_size", "32",
+              "--num_samples", "4", "--passages", "16",
+              "--serving_dp", "4",
+              "--retrieval_checkpoint", str(tmp_path / "none"),
+              "--output_path", str(tmp_path / "pe_dp.json")])
+    assert np.isfinite(r["bleu_4"])
+
+
 def test_prompt_contract():
     """Training and serving share these exact strings; changing them
     requires retraining deployed decoders — keep the contract pinned."""

@@ -47,6 +47,65 @@ def test_bucket_resolution():
                         buckets=(4, 2)).resolved_buckets() == (2, 4, 8)
 
 
+def test_bucket_multiple_rounds_up():
+    cfg = ServerConfig(max_batch_size=16, batch_multiple=4)
+    assert cfg.resolved_buckets() == (4, 8, 16)
+    cfg = ServerConfig(max_batch_size=6, batch_multiple=4)
+    assert cfg.resolved_buckets() == (4, 8)
+    cfg = ServerConfig(max_batch_size=8, buckets=(2, 5),
+                       batch_multiple=4)
+    assert cfg.resolved_buckets() == (4, 8)
+
+
+def test_dp_serving_parity(pipeline, cfg, tokenizer, dataset):
+    """Data-parallel serving (params replicated over a mesh, batches
+    sharded on the data axis) must produce the single-device pipeline's
+    exact greedy outputs — including for a batch size that does NOT
+    divide the mesh (internal padding).  Net-new vs the reference
+    (single-GPU torch serving); the TPU scale-out story for serving."""
+    from jax.sharding import Mesh, PartitionSpec
+
+    devs = jax.devices()
+    if len(devs) < 4:
+        pytest.skip("needs >= 4 devices")
+    mesh = Mesh(np.asarray(devs[:4]), ("data",))
+    pipe_dp = RadarPipeline(
+        cfg, tokenizer, pipeline.expert_model, pipeline.expert_params,
+        None, pipeline.decoder, pipeline.decoder_params,
+        serving_mesh=(mesh, "data"))
+
+    # params really replicated over all 4 devices
+    leaf = jax.tree_util.tree_leaves(pipe_dp.decoder_params)[0]
+    assert len(leaf.sharding.device_set) == 4
+    # batches really sharded along the data axis
+    arr = pipe_dp._put_batch(np.zeros((4, 8), np.float32))
+    assert arr.sharding.spec == PartitionSpec("data")
+
+    images, contexts = _studies(dataset, 3)   # 3 % 4 != 0 → padding
+    direct = pipeline.generate_reports_batch(images, contexts)
+    dp = pipe_dp.generate_reports_batch(images, contexts)
+    assert len(dp) == 3
+    for d, r in zip(direct, dp):
+        assert r["report"] == d["report"]
+        # same decisions; probabilities may differ in the last ulps
+        # (batch-3 program vs the padded batch-4 SPMD program)
+        assert set(r["expert_observations"]) == \
+            set(d["expert_observations"])
+        for k, v in r["expert_observations"].items():
+            assert v == pytest.approx(d["expert_observations"][k],
+                                      abs=1e-5)
+
+
+def test_dp_serving_rejects_ring():
+    from jax.sharding import Mesh
+
+    devs = jax.devices()
+    mesh = Mesh(np.asarray(devs[:2]), ("data",))
+    with pytest.raises(ValueError, match="serving_mesh and ring"):
+        RadarPipeline(None, None, ring=(mesh, "data"),
+                      serving_mesh=(mesh, "data"))
+
+
 def test_parity_with_direct_batch(pipeline, dataset):
     """A full bucket served through the server must produce exactly
     the direct ``generate_reports_batch`` outputs (same shapes → same
