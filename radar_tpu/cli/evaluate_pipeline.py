@@ -98,7 +98,36 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
     expert, expert_params = load_model_params(
         args.model_type, args.expert_checkpoint, cfg, sample_batch)
 
-    dpr = create_dpr_model(cfg, tokenizer)
+    # data-parallel serving knob (built before the DPR so the retrieval
+    # corpus can row-shard over the same mesh): replicate params over N
+    # chips and shard every batched stage's leading dim across them
+    serving_mesh = None
+    n_dp = getattr(args, "serving_dp", 0) or 0
+    if n_dp > 1:
+        if (getattr(args, "context_parallel", 0) or 0) > 1:
+            raise SystemExit("--serving_dp and --context_parallel are "
+                             "mutually exclusive per pipeline")
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        if len(devs) < n_dp:
+            raise SystemExit(f"--serving_dp {n_dp} needs {n_dp} "
+                             f"devices, have {len(devs)}")
+        serving_mesh = (Mesh(np.asarray(devs[:n_dp]), ("data",)),
+                        "data")
+        logger.info("data-parallel serving over %d devices", n_dp)
+
+    index_mesh = None
+    if serving_mesh is not None:
+        if cfg.retrieval.capacity % n_dp == 0:
+            index_mesh = serving_mesh[0]
+            logger.info("retrieval corpus row-sharded over the "
+                        "serving mesh (%d rows/chip)",
+                        cfg.retrieval.capacity // n_dp)
+        else:
+            logger.warning(
+                "retrieval.capacity %d does not divide over %d chips; "
+                "index stays unsharded", cfg.retrieval.capacity, n_dp)
+    dpr = create_dpr_model(cfg, tokenizer, mesh=index_mesh)
     emb_ckpt = os.path.join(args.retrieval_checkpoint, "embedder")
     if os.path.isdir(emb_ckpt):
         dpr.embedder.params = load_params(
@@ -142,24 +171,6 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
                              f"devices, have {len(devs)}")
         ring = (Mesh(np.asarray(devs[:n_cp]), ("seq",)), "seq")
         logger.info("context parallelism: ring of %d devices", n_cp)
-
-    # data-parallel serving knob: replicate params over N chips and
-    # shard every batched stage's leading dim across them (throughput
-    # scale-out; the latency complement to --context_parallel)
-    serving_mesh = None
-    n_dp = getattr(args, "serving_dp", 0) or 0
-    if n_dp > 1:
-        if n_cp > 1:
-            raise SystemExit("--serving_dp and --context_parallel are "
-                             "mutually exclusive per pipeline")
-        from jax.sharding import Mesh
-        devs = jax.devices()
-        if len(devs) < n_dp:
-            raise SystemExit(f"--serving_dp {n_dp} needs {n_dp} "
-                             f"devices, have {len(devs)}")
-        serving_mesh = (Mesh(np.asarray(devs[:n_dp]), ("data",)),
-                        "data")
-        logger.info("data-parallel serving over %d devices", n_dp)
 
     # probability-averaged expert ensemble (decorrelated confident FPs)
     ensemble = []
