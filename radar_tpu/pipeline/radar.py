@@ -128,11 +128,32 @@ class RadarPipeline:
         self._members = []
         for (m_model, m_params, m_th) in (ensemble or []):
             self._members.append((
-                jax.jit(lambda p, pv, ids, msk, _mm=m_model:
-                        _mm.apply({"params": p}, pv, ids, msk,
-                                  deterministic=True)),
+                m_model,
                 None if m_params is None else self._pin(m_params),
                 m_th))
+        # ONE jitted program for all ensemble members' calibrated
+        # probabilities: per-member jit calls cost a full dispatch
+        # round-trip each through the TPU relay (~90 ms) — at 3
+        # members that fixed cost rivals the batch's compute.  The
+        # fused program computes every member's temperature-scaled
+        # sigmoid in one XLA dispatch; mean/std stay host-side.
+        self._ensemble_fwd = None
+        if self._members and expert_model is not None:
+            member_models = [expert_model] + [m for (m, _, _)
+                                              in self._members]
+
+            def _stacked(ps, pv, ids, msk):
+                outs = []
+                for mdl, p in zip(member_models, ps):
+                    logits = mdl.apply({"params": p}, pv, ids, msk,
+                                       deterministic=True)
+                    if "temperature" in p:
+                        logits = logits / jnp.maximum(jnp.asarray(
+                            p["temperature"], jnp.float32), 1e-3)
+                    outs.append(jax.nn.sigmoid(logits))
+                return jnp.stack(outs)          # [M, B, n_obs]
+
+            self._ensemble_fwd = jax.jit(_stacked)
         self._fusion_fwd = None
         if fusion_module is not None:
             self._fusion_fwd = jax.jit(
@@ -160,6 +181,12 @@ class RadarPipeline:
         if self._batch_sharding is not None:
             return jax.device_put(jnp.asarray(x), self._batch_sharding)
         return jnp.asarray(x)
+
+    def _member_params(self) -> tuple:
+        """(lead expert params, *ensemble member params) — the
+        argument tuple of the fused ``_ensemble_fwd`` program."""
+        return (self.expert_params,
+                *[m_params for (_, m_params, _) in self._members])
 
     @staticmethod
     def _member_thresholds(params, thresholds) -> np.ndarray | float:
@@ -207,13 +234,14 @@ class RadarPipeline:
         serving path used raw uncalibrated logits at a fixed 0.5,
         severing it from the trainer's calibration).  With ensemble
         members, the mean of the members' calibrated probabilities."""
-        probs = self._calibrated_probs(
+        if self._ensemble_fwd is not None:
+            stack = np.asarray(self._ensemble_fwd(
+                self._member_params(), images, input_ids,
+                attention_mask))
+            return stack.mean(0)
+        return self._calibrated_probs(
             self._expert_fwd, self.expert_params, images, input_ids,
             attention_mask)
-        for (m_fwd, m_params, _) in self._members:
-            probs = probs + self._calibrated_probs(
-                m_fwd, m_params, images, input_ids, attention_mask)
-        return probs / (1 + len(self._members))
 
     # ------------------------------------------------------------------
     def corroborate_observations(self, image_embeddings: np.ndarray,
@@ -429,13 +457,9 @@ class RadarPipeline:
             # ensemble serving: member DISAGREEMENT is the predictive
             # uncertainty (the MC-dropout std's role) — an observation
             # is confident only when the mean clears the threshold AND
-            # the members agree
-            member_probs = [self._calibrated_probs(
-                self._expert_fwd, self.expert_params, pv, tid, tmask)]
-            for (m_fwd, m_params, _) in self._members:
-                member_probs.append(self._calibrated_probs(
-                    m_fwd, m_params, pv, tid, tmask))
-            stack = np.stack(member_probs)            # [M, 1, n_obs]
+            # the members agree.  One fused dispatch for all members.
+            stack = np.asarray(self._ensemble_fwd(
+                self._member_params(), pv, tid, tmask))  # [M, 1, n_obs]
             probs = stack.mean(0)[0]
             uncertainty = stack.std(0)[0]
             th = (threshold if threshold is not None
