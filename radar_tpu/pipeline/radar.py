@@ -537,6 +537,57 @@ class RadarPipeline:
                 {"passage": p, "conflict_score": float(s)})
         return [k["passage"] for k in keep], dropped
 
+    def filter_conflicting_passages_batch(
+            self, preliminaries: list[str],
+            passages_list: list[list[str]]) -> list[tuple]:
+        """Batched conflict filter across all studies: ONE PF embed,
+        ONE flattened-and-padded passage embed, ONE fusion forward —
+        the per-study ``filter_conflicting_passages`` costs 3 device
+        dispatches per study per RAG iteration (each a full relay
+        round-trip); at serving batch sizes the fixed dispatch cost
+        dominates the fusion compute.  Rows are padded to the static
+        ``n * max(top_k, widest)`` shape so the programs compile once.
+        Returns per-study (kept_passages, dropped) with the per-study
+        method's exact semantics (no filtering without a preliminary)."""
+        n = len(passages_list)
+        out_unfiltered = [(list(p), []) for p in passages_list]
+        if self._fusion_fwd is None:
+            return out_unfiltered
+        rows = [(i, p) for i in range(n) if preliminaries[i]
+                for p in passages_list[i]]
+        if not rows:
+            return out_unfiltered
+        seq = self.config.fusion.max_findings_len
+        cap = max(self.config.rag.top_k,
+                  max(len(p) for p in passages_list))
+        total = n * cap
+        pf_all, pf_mask_all = self.dpr.embedder.embed_text_hidden(
+            [p or "" for p in preliminaries], seq)        # [n, S, H]
+        texts = [p for (_, p) in rows] + [""] * (total - len(rows))
+        sf_feats, sf_mask = self.dpr.embedder.embed_text_hidden(
+            texts, seq)
+        row_of = np.asarray([i for (i, _) in rows]
+                            + [0] * (total - len(rows)))
+        out = self._fusion_fwd(self.fusion_params,
+                               jnp.asarray(pf_all[row_of]),
+                               jnp.asarray(sf_feats),
+                               jnp.asarray(pf_mask_all[row_of]),
+                               jnp.asarray(sf_mask))
+        pos = pf_mask_all[row_of] * sf_mask
+        scores = ((np.asarray(out["conflict_scores"]) * pos).sum(axis=1)
+                  / np.maximum(pos.sum(axis=1), 1.0))
+        threshold = self.config.fusion.conflict_threshold
+        keeps = [[] for _ in range(n)]
+        drops = [[] for _ in range(n)]
+        for r, (i, p) in enumerate(rows):
+            if scores[r] > threshold:
+                drops[i].append({"passage": p,
+                                 "conflict_score": float(scores[r])})
+            else:
+                keeps[i].append(p)
+        return [(keeps[i], drops[i]) if preliminaries[i]
+                else out_unfiltered[i] for i in range(n)]
+
     def _make_retrieval_fn(self, image_embedding=None,
                            query_observations=None,
                            preliminary_ref=None,
@@ -761,15 +812,26 @@ class RadarPipeline:
                 all_hits = self.dpr.retrieve_for_texts(
                     queries, cfg.top_k, q_obs)
                 hits_of = {i: all_hits[i] for i in active}
-            # pass 3 (host + fusion): rank, filter, build prompts
+            # pass 3 (host + fusion): rank, filter, build prompts.
+            # The conflict filter runs ONCE batched over all active
+            # studies (3 dispatches total, not 3 per study)
+            filtered = None
+            if self._fusion_fwd is not None and active:
+                prelims = [""] * n
+                plist: list[list[str]] = [[] for _ in range(n)]
+                for i in active:
+                    prelims[i] = generations[i][-1]
+                    plist[i] = [h["passage"]
+                                for h in hits_of.get(i, [])]
+                filtered = self.filter_conflicting_passages_batch(
+                    prelims, plist)
             for i in active:
                 gen = generations[i][-1]
                 hits = hits_of.get(i, [])
                 passages = [h["passage"] for h in hits]
                 score_of = {h["passage"]: h["score"] for h in hits}
-                if passages and self._fusion_fwd is not None:
-                    passages, _ = self.filter_conflicting_passages(
-                        gen, passages)
+                if filtered is not None:
+                    passages = filtered[i][0]
                 scores = [score_of.get(p, 0.0) for p in passages]
                 ranked = self.rag.retriever.rank_retrieved_passages(
                     passages, missings[i], seen[i], scores)

@@ -4,6 +4,7 @@ the reference's empty ``tests/test_knowledge.py`` intent."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from radar_tpu.core.config import FusionConfig, RAGConfig
 from radar_tpu.fusion.fusion import AttentionKnowledgeFusion, create_fusion_model
@@ -280,6 +281,23 @@ def test_fusion_on_text_features_learns_and_filters(cfg, tokenizer):
     assert consistent in kept, (kept, dropped)
     assert any(d["passage"] == conflicting for d in dropped), \
         (kept, dropped)
+
+    # batched filter (one fused dispatch for all studies) must match
+    # the per-study calls — including a study with no preliminary
+    # (unfiltered) and an empty-passage study
+    row2 = sample_labels(np.random.default_rng(7), 1)[0]
+    pf2 = report_text(row2)
+    batch_out = pipe.filter_conflicting_passages_batch(
+        [pf, "", pf2],
+        [[consistent, conflicting], [consistent], []])
+    assert batch_out[0][0] == kept
+    assert [d["passage"] for d in batch_out[0][1]] == \
+        [d["passage"] for d in dropped]
+    for b, d in zip(batch_out[0][1], dropped):
+        assert b["conflict_score"] == pytest.approx(
+            d["conflict_score"], abs=1e-4)
+    assert batch_out[1] == ([consistent], [])   # no PF -> unfiltered
+    assert batch_out[2] == ([], [])
 
 
 def test_corroborate_observations_gating(cfg, tokenizer):
