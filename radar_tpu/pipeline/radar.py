@@ -245,7 +245,9 @@ class RadarPipeline:
 
     # ------------------------------------------------------------------
     def corroborate_observations(self, image_embeddings: np.ndarray,
-                                 probs: np.ndarray) -> list[set]:
+                                 probs: np.ndarray,
+                                 neighbour_ids: np.ndarray | None = None
+                                 ) -> list[set]:
         """Image-neighbour corroboration (round-3, VERDICT r2 #1):
         observations mentioned by >= ``corroborate_min_votes`` of the
         ``corroborate_top_m`` visually-nearest indexed reports, which
@@ -264,9 +266,14 @@ class RadarPipeline:
         th = self._thresholds()
         th = np.broadcast_to(np.asarray(th, np.float32),
                              probs.shape[-1:])
-        scores, ids = self.dpr.index.search(
-            np.asarray(image_embeddings), cfg.corroborate_top_m)
-        ids = np.asarray(ids)
+        if neighbour_ids is not None:
+            # precomputed shared search (sorted by score): the top-m
+            # slice equals a fresh k=m search
+            ids = np.asarray(neighbour_ids)[:, :cfg.corroborate_top_m]
+        else:
+            _, ids = self.dpr.index.search(
+                np.asarray(image_embeddings), cfg.corroborate_top_m)
+            ids = np.asarray(ids)
         # vote source: the index's stored multi-hot labels — the SAME
         # quantity the precision sweep (scripts/corroborate_sweep.py)
         # tuned the 10/6/0.35 defaults against and the veto channel
@@ -325,7 +332,9 @@ class RadarPipeline:
             self._obs_host_cache = cached
         return cached[2]
 
-    def _neighbour_votes(self, image_embeddings) -> np.ndarray | None:
+    def _neighbour_votes(self, image_embeddings,
+                         neighbour_ids: np.ndarray | None = None
+                         ) -> np.ndarray | None:
         """[B, n_obs] image-neighbour observation votes: how many of
         the ``rag.veto_top_m`` visually-nearest indexed reports carry
         each observation, read from the index's stored multi-hot
@@ -339,9 +348,12 @@ class RadarPipeline:
         obs = self._index_observations_host()
         if obs.size == 0 or not obs.any():
             return None
-        _, ids = self.dpr.index.search(np.asarray(image_embeddings),
-                                       cfg.veto_top_m)
-        ids = np.asarray(ids)
+        if neighbour_ids is not None:
+            ids = np.asarray(neighbour_ids)[:, :cfg.veto_top_m]
+        else:
+            _, ids = self.dpr.index.search(np.asarray(image_embeddings),
+                                           cfg.veto_top_m)
+            ids = np.asarray(ids)
         votes = np.zeros((len(ids), obs.shape[1]), np.float32)
         count = self.dpr.index.count
         for r, row in enumerate(ids):
@@ -720,6 +732,19 @@ class RadarPipeline:
 
         # stage 2 (batched): calibrated expert observations, with the
         # cross-modal image-neighbour veto on positives (round-3)
+        # ONE shared image-neighbour search at max(veto, corroborate)
+        # k — the veto and corroboration channels slice their own
+        # prefix (results are score-sorted, so a top-m slice equals a
+        # fresh k=m search); saves a dispatch per batch
+        nbr_ids = None
+        rag_cfg = self.config.rag
+        kmax = max(rag_cfg.veto_top_m, rag_cfg.corroborate_top_m)
+        if (image_embeddings is not None and self.dpr is not None
+                and self.dpr.index.count > 0 and kmax > 0):
+            _, nbr_ids = self.dpr.index.search(
+                np.asarray(image_embeddings), kmax)
+            nbr_ids = np.asarray(nbr_ids)
+
         expert_obs = [{} for _ in range(n)]
         probs = None
         q_obs = None
@@ -732,7 +757,8 @@ class RadarPipeline:
             th = np.broadcast_to(
                 np.asarray(self._thresholds(), np.float32),
                 probs.shape[-1:])
-            votes = (self._neighbour_votes(np.asarray(image_embeddings))
+            votes = (self._neighbour_votes(np.asarray(image_embeddings),
+                                           neighbour_ids=nbr_ids)
                      if image_embeddings is not None else None)
             decisions = self._apply_veto(probs, probs > th, votes)
             q_obs = decisions.astype(np.float32)
@@ -769,7 +795,8 @@ class RadarPipeline:
         corroborated = [set() for _ in range(n)]
         if probs is not None and image_embeddings is not None:
             corroborated = self.corroborate_observations(
-                np.asarray(image_embeddings), probs)
+                np.asarray(image_embeddings), probs,
+                neighbour_ids=nbr_ids)
         expected = [self.rag.expected_in_vocab(
             set(expert_obs[i]) | corroborated[i]) for i in range(n)]
         # expert-gated accrual set: a draft mention only joins the
