@@ -739,7 +739,8 @@ class RadarPipeline:
         nbr_ids = None
         rag_cfg = self.config.rag
         kmax = max(rag_cfg.veto_top_m, rag_cfg.corroborate_top_m)
-        if (image_embeddings is not None and self.dpr is not None
+        if (self._expert_fwd is not None
+                and image_embeddings is not None and self.dpr is not None
                 and self.dpr.index.count > 0 and kmax > 0):
             _, nbr_ids = self.dpr.index.search(
                 np.asarray(image_embeddings), kmax)
@@ -1002,6 +1003,19 @@ class RadarPipeline:
 
         # stage 1+2: calibrated expert observations, cross-modal veto
         # on positives (round-3)
+        # shared image-neighbour search for the veto + corroboration
+        # channels (one dispatch; slices are exact — see the batched
+        # path)
+        nbr_ids = None
+        rag_cfg = self.config.rag
+        kmax = max(rag_cfg.veto_top_m, rag_cfg.corroborate_top_m)
+        if (self._expert_fwd is not None and image_embedding is not None
+                and self.dpr is not None and self.dpr.index.count > 0
+                and kmax > 0):
+            _, nbr_ids = self.dpr.index.search(
+                np.asarray(image_embedding), kmax)
+            nbr_ids = np.asarray(nbr_ids)
+
         expert_out = None
         q_obs = None
         if self._expert_fwd is not None:
@@ -1009,7 +1023,8 @@ class RadarPipeline:
             th = np.broadcast_to(
                 np.asarray(self._thresholds(), np.float32),
                 expert_out["probs"].shape)
-            votes = (self._neighbour_votes(np.asarray(image_embedding))
+            votes = (self._neighbour_votes(np.asarray(image_embedding),
+                                           neighbour_ids=nbr_ids)
                      if image_embedding is not None else None)
             decisions = self._apply_veto(
                 expert_out["probs"][None],
@@ -1056,7 +1071,7 @@ class RadarPipeline:
         if expert_out is not None and image_embedding is not None:
             corroborated = self.corroborate_observations(
                 np.asarray(image_embedding),
-                expert_out["probs"][None])[0]
+                expert_out["probs"][None], neighbour_ids=nbr_ids)[0]
             _mark("corroborate")
         allowed = None
         if expert_out is not None:
