@@ -76,10 +76,14 @@ def build_parser():
                              "attention sequence-sharded over N devices "
                              "(context parallelism; needs N devices)")
     parser.add_argument("--serving_dp", type=int, default=0,
-                        help="N > 1: data-parallel serving — replicate "
-                             "params over N devices and shard batches "
-                             "across them (mutually exclusive with "
-                             "--context_parallel)")
+                        help="N > 1: build the pipeline on an N-device "
+                             "data-parallel serving mesh (replicated "
+                             "params + row-sharded retrieval index; "
+                             "batch sharding engages on the BATCHED "
+                             "entry points — serve/bench_serving/"
+                             "bench_async_serving; this eval drives "
+                             "single-study serving). Mutually "
+                             "exclusive with --context_parallel")
     parser.add_argument("--output_path", type=str,
                         default="./results/pipeline_evaluation.json")
     add_data_args(parser)

@@ -177,9 +177,15 @@ class RadarPipeline:
         """Commit a batch-dim array for the jitted stages: sharded
         along the serving mesh's data axis when one is set (leading dim
         must be mesh-divisible — ``generate_reports_batch`` pads), else
-        a plain ``jnp.asarray``."""
+        a plain ``jnp.asarray``.  Host arrays go straight to the
+        sharded placement (ONE upload); ``jnp.asarray`` first would
+        stage them on the default device and pay a second transfer —
+        through the relay that re-transfer class dominates serving
+        latency (CLAUDE.md)."""
         if self._batch_sharding is not None:
-            return jax.device_put(jnp.asarray(x), self._batch_sharding)
+            if not isinstance(x, jax.Array):
+                x = np.asarray(x)
+            return jax.device_put(x, self._batch_sharding)
         return jnp.asarray(x)
 
     def _member_params(self) -> tuple:
@@ -737,8 +743,7 @@ class RadarPipeline:
         # prefix (results are score-sorted, so a top-m slice equals a
         # fresh k=m search); saves a dispatch per batch
         nbr_ids = None
-        rag_cfg = self.config.rag
-        kmax = max(rag_cfg.veto_top_m, rag_cfg.corroborate_top_m)
+        kmax = max(cfg.veto_top_m, cfg.corroborate_top_m)
         if (self._expert_fwd is not None
                 and image_embeddings is not None and self.dpr is not None
                 and self.dpr.index.count > 0 and kmax > 0):

@@ -53,7 +53,9 @@ class ServerConfig:
 
     max_batch_size: largest batch handed to the pipeline (and the
         largest bucket); bounded by decode memory at the serving
-        preset, not by the queue.
+        preset, not by the queue.  With a ``batch_multiple`` that does
+        not divide it, the effective cap is the rounded-up largest
+        bucket (real requests fill it rather than padding).
     max_wait_ms: how long the batcher waits for more requests after
         the first one arrives — the latency/throughput dial.  0 means
         serve whatever is queued immediately (lowest latency, smallest
@@ -122,6 +124,10 @@ class RadarServer:
         if self.config.max_batch_size < 1:
             raise ValueError("max_batch_size must be >= 1")
         self._buckets = self.config.resolved_buckets()
+        # fill the largest bucket with REAL work: when batch_multiple
+        # rounds it above max_batch_size, popping only max_batch_size
+        # requests would pad every saturated batch forever
+        self._max_take = self._buckets[-1]
         self._queue: deque[_Request] = deque()
         self._cv = threading.Condition()
         self._closed = False
@@ -193,7 +199,7 @@ class RadarServer:
             # leader's batch (skip when closed — drain fast)
             deadline = time.perf_counter() + self.config.max_wait_ms / 1e3
             while (not self._closed
-                   and len(self._queue) < self.config.max_batch_size):
+                   and len(self._queue) < self._max_take):
                 remaining = deadline - time.perf_counter()
                 if remaining <= 0:
                     break
@@ -203,7 +209,7 @@ class RadarServer:
             # pop the leader + every same-key request behind it (order
             # preserved for differently-keyed requests)
             kept: deque[_Request] = deque()
-            while self._queue and len(batch) < self.config.max_batch_size:
+            while self._queue and len(batch) < self._max_take:
                 r = self._queue.popleft()
                 if r.options_key() == key:
                     batch.append(r)

@@ -176,8 +176,10 @@ def test_evaluate_pipeline_cli_context_parallel(tmp_path):
 
 def test_evaluate_pipeline_cli_serving_dp(tmp_path):
     """--serving_dp N builds RadarPipeline(serving_mesh=...): params
-    replicate over N devices, batches shard across them, and the full
-    pipeline (expert + retrieval + RAG decode) evaluates end-to-end."""
+    replicate over N devices (and the index row-shards) and the full
+    pipeline evaluates end-to-end.  Batch sharding itself is asserted
+    in test_serving.py::test_dp_serving_parity — this eval CLI drives
+    the single-study path."""
     from radar_tpu.cli.evaluate_pipeline import main
     r = main(["--synthetic", "--tiny", "--synthetic_size", "32",
               "--num_samples", "4", "--passages", "16",

@@ -57,6 +57,19 @@ def test_bucket_multiple_rounds_up():
     assert cfg.resolved_buckets() == (4, 8)
 
 
+def test_effective_cap_fills_rounded_bucket(pipeline):
+    """When batch_multiple rounds the largest bucket above
+    max_batch_size, the batcher pops up to the BUCKET so saturated
+    batches carry real work, not permanent padding."""
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=6, batch_multiple=4, max_wait_ms=0.0))
+    try:
+        assert server.config.resolved_buckets() == (4, 8)
+        assert server._max_take == 8
+    finally:
+        server.shutdown()
+
+
 def test_dp_serving_parity(pipeline, cfg, tokenizer, dataset):
     """Data-parallel serving (params replicated over a mesh, batches
     sharded on the data axis) must produce the single-device pipeline's
