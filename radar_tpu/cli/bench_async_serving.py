@@ -88,9 +88,12 @@ def main(argv=None):
         max_wait_ms=args.max_wait_ms,
         batch_multiple=max(args.serving_dp, 1)))
     try:
-        # warmup: compile every bucket the sweep can hit (full bucket +
-        # singleton) so the first measured request isn't a compile
-        for b in (args.serve_batch, 1):
+        # warmup: compile EVERY bucket — Poisson arrivals hit
+        # intermediate buckets too, and a first-use compile mid-sweep
+        # (20-40 s through the relay) poisons that load's latency
+        # distribution and backs the queue up for the rest of it
+        for b in sorted(server.config.resolved_buckets(),
+                        reverse=True):
             futs = [server.submit(*studies[i % n_pool],
                                   verify_grounding=args.grounding)
                     for i in range(b)]

@@ -235,8 +235,8 @@ def test_bench_async_serving_cli(tmp_path):
     assert row["latency_p50_s"] > 0
     assert row["achieved_rps"] > 0
     assert 1 <= row["mean_batch_size"] <= 4
-    # warmup (serve_batch + 1) + the measured 8-request load
-    assert r["server_stats"]["requests_served"] == 13
+    # warmup (one burst per bucket: 4+2+1) + the measured 8-request load
+    assert r["server_stats"]["requests_served"] == 15
 
 
 def test_http_endpoint(pipeline, dataset):
