@@ -97,6 +97,10 @@ def main(argv=None):
         "batch_size": b, "num_batches": args.num_batches,
         "grounding": bool(args.grounding),
         "reports_per_sec": b / float(lat.mean()),
+        # the relay exhibits multi-second stalls on some dispatches
+        # (CLAUDE.md); with few batches one stall wrecks the mean, so
+        # the median-based figure is the steady-state throughput
+        "reports_per_sec_p50": b / float(np.percentile(lat, 50)),
         "seconds_per_batch_mean": float(lat.mean()),
         "seconds_per_batch_p50": float(np.percentile(lat, 50)),
         "measured": True,
