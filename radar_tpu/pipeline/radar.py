@@ -126,6 +126,11 @@ class RadarPipeline:
         #: residual FP mentions are expert-confident AND neighbour-
         #: supported — only a second expert's dissent catches them)
         self._members = []
+        if ensemble and expert_model is None:
+            raise ValueError(
+                "ensemble members require a lead expert_model (the "
+                "fused ensemble forward stacks the lead expert with "
+                "the members)")
         for (m_model, m_params, m_th) in (ensemble or []):
             self._members.append((
                 m_model,
