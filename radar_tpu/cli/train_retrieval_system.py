@@ -24,7 +24,8 @@ import numpy as np
 from ..core.checkpoint import save_params
 from ..core.logging import get_logger
 from .common import (add_common_args, make_tokenizer, add_data_args,
-                     batch_iterator_factory, build_datasets, load_config)
+                     batch_iterator_factory, build_datasets, load_config,
+                     steps_per_epoch)
 
 logger = get_logger("radar_tpu.train_retrieval")
 
@@ -94,7 +95,8 @@ def main(argv=None):
                 return warm_start_embedder_params(p, vparams, tparams)
         module, params, history = train_embedder(
             cfg, factory, num_epochs=args.embedder_epochs,
-            param_graft=graft)
+            param_graft=graft,
+            steps_per_epoch=steps_per_epoch(train_ds, bs))
         acc = retrieval_alignment(module, params, factory)
         save_params(os.path.join(args.output_dir, "embedder"),
                     {"params": params})
@@ -183,7 +185,8 @@ def main(argv=None):
 
         lm_cfg = (cfg.override(**{"train.num_epochs": args.lm_epochs})
                   if args.lm_epochs else cfg)
-        module, params, history = train_decoder_lm(lm_cfg, batches)
+        module, params, history = train_decoder_lm(
+            lm_cfg, batches, steps_per_epoch=max(1, len(ids) // bs))
         save_params(os.path.join(args.output_dir, "decoder"),
                     {"params": params})
         results["2.3"] = {"history": history,

@@ -146,7 +146,8 @@ def make_pipeline_lm_examples(metas: list[dict], tokenizer: Tokenizer,
 
 def train_decoder_lm(config: RadarConfig,
                      batches: Callable[[], Iterable[dict]],
-                     num_epochs: int | None = None, seed: int = 0):
+                     num_epochs: int | None = None, seed: int = 0,
+                     steps_per_epoch: int | None = None):
     """Train the ReportDecoder. ``batches()`` yields dicts with
     input_ids/attention_mask/loss_mask (+ optional prefix_embedding).
     Returns (module, params, history)."""
@@ -164,8 +165,11 @@ def train_decoder_lm(config: RadarConfig,
     # real steps/epoch + the ACTUAL epoch count so the cosine schedule
     # spans the run (the default 100 x config-epochs let long
     # --lm_epochs runs spend most of their steps at lr~0: round-3 chain
-    # log showed decoder loss frozen at 0.3411 from epoch 2 of 12)
-    steps_per_epoch = sum(1 for _ in batches())
+    # log showed decoder loss frozen at 0.3411 from epoch 2 of 12);
+    # callers that know the dataset length pass it — the counting
+    # fallback walks a full extra epoch of the generator
+    if steps_per_epoch is None:
+        steps_per_epoch = sum(1 for _ in batches())
     tx = make_optimizer(dataclasses.replace(config.train,
                                             num_epochs=epochs),
                         steps_per_epoch=steps_per_epoch)

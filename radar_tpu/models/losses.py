@@ -140,7 +140,12 @@ def multi_positive_infonce(image_embeds: jnp.ndarray,
 
     sim = logit_scale * (image_embeds @ text_embeds.T)
     loss_i2t = jnp.mean(optax.softmax_cross_entropy(sim, targets))
-    loss_t2i = jnp.mean(optax.softmax_cross_entropy(sim.T, targets.T))
+    # t2i targets: text i's distribution over images j is weights[j, i]
+    # column-normalized.  ``weights`` is symmetric (jac/both_neg/eye all
+    # are), so that equals the row-normalized ``targets`` — NOT
+    # ``targets.T``, whose rows don't sum to 1 when positive counts
+    # differ across the batch and would mis-weight each text's loss.
+    loss_t2i = jnp.mean(optax.softmax_cross_entropy(sim.T, targets))
     base = 0.5 * (loss_i2t + loss_t2i)
 
     # hinge on confusable-but-distinct negatives (below the relevance

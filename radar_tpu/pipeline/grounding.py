@@ -163,8 +163,11 @@ class GroundingVerifier:
         # special-token ids come from the tokenizer when it exposes
         # them (the HF adapter does); 0-3 is only the word-tokenizer
         # convention (ADVICE r2)
-        special = set(getattr(tokenizer, "special_token_ids", None)
-                      or range(4))
+        special_ids = getattr(tokenizer, "special_token_ids", None)
+        # only a MISSING attribute falls back to the word-tokenizer's
+        # 0-3 convention; an empty-but-present tuple (an HF tokenizer
+        # with no special tokens) means nothing is exempt from banning
+        special = set(range(4) if special_ids is None else special_ids)
         hit = False
         for word in ban_words:
             ids, m = tokenizer.encode(word, max_length=4)

@@ -235,7 +235,11 @@ class RadarPipeline:
         if "temperature" in params:
             logits = logits / max(
                 float(np.asarray(params["temperature"])), 1e-3)
-        return np.asarray(jax.nn.sigmoid(jnp.asarray(logits)))
+        # host-side sigmoid: the logits are already downloaded, and a
+        # device sigmoid would cost an extra upload+dispatch round-trip
+        # through the relay on every serving forward
+        probs = np.exp(-np.logaddexp(0.0, -logits.astype(np.float64)))
+        return probs.astype(np.float32)
 
     def _expert_probs(self, images, input_ids, attention_mask
                       ) -> np.ndarray:

@@ -74,8 +74,11 @@ class ShardedIndex:
             obs = jax.device_put(obs, self._obs_sh)
             valid = jax.device_put(valid, self._valid_sh)
         self.embeddings, self.observations, self.valid = emb, obs, valid
-        self._search_fn = None
-        self._search_k = None
+        # jitted search executables keyed by k: serving alternates the
+        # veto/corroboration neighbour search (top_m, typically 10) with
+        # the RAG loop's top_k=5 retrievals every call, so a single-slot
+        # cache would rebuild the jit (and, cold, recompile) per flip
+        self._search_fns: dict[int, object] = {}
         self._add_fn = None
 
     # ------------------------------------------------------------------
@@ -160,9 +163,9 @@ class ShardedIndex:
         block: callers may queue many batches in flight and read
         results when needed (``search`` is the sync wrapper)."""
         k = k or self.config.top_k
-        if self._search_fn is None or self._search_k != k:
-            self._search_fn = self._build_search(k)
-            self._search_k = k
+        fn = self._search_fns.get(k)
+        if fn is None:
+            fn = self._search_fns[k] = self._build_search(k)
         q = jnp.asarray(queries, jnp.float32)
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-8)
         if query_observations is None:
@@ -171,7 +174,7 @@ class ShardedIndex:
         else:
             q_obs = jnp.asarray(query_observations, jnp.float32)
             use_obs = jnp.asarray(True)
-        return self._search_fn(self.embeddings, self.observations,
+        return fn(self.embeddings, self.observations,
                                self.valid, q, q_obs, use_obs)
 
     def search(self, queries: np.ndarray, k: int | None = None,

@@ -31,7 +31,8 @@ def train_embedder(config: RadarConfig,
                    num_epochs: int | None = None,
                    rng: jax.Array | None = None,
                    mesh=None,
-                   param_graft=None
+                   param_graft=None,
+                   steps_per_epoch: int | None = None
                    ) -> tuple[CrossModalEmbedder, dict, list]:
     """Train the cross-modal embedder with image<->text InfoNCE.
 
@@ -52,8 +53,11 @@ def train_embedder(config: RadarConfig,
         params = param_graft(jax.device_get(params))
     epochs = num_epochs or config.train.num_epochs
     # real steps/epoch so the cosine schedule spans the actual run
-    # (the default 100 made long runs spend their tail at lr~0)
-    steps_per_epoch = sum(1 for _ in batches())
+    # (the default 100 made long runs spend their tail at lr~0);
+    # callers that know the dataset length pass it — the counting
+    # fallback materializes a full epoch of host-side image generation
+    if steps_per_epoch is None:
+        steps_per_epoch = sum(1 for _ in batches())
     tx = make_optimizer(dataclasses.replace(config.train,
                                             num_epochs=epochs),
                         steps_per_epoch=steps_per_epoch)

@@ -159,7 +159,10 @@ class RadarServer:
                 raise RuntimeError("server is shut down")
             if (self.config.max_queue
                     and len(self._queue) >= self.config.max_queue):
-                self._rejected += 1
+                # counter belongs to the stats-lock domain (stats()
+                # snapshots it there), not the queue lock
+                with self._stats_lock:
+                    self._rejected += 1
                 raise QueueFull(
                     f"queue at capacity ({self.config.max_queue})")
             self._queue.append(req)

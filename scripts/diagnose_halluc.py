@@ -94,7 +94,6 @@ for i in range(num):
     emb = pipe.dpr.embedder.embed_images([np.asarray(img, np.float32)])
     votes = pipe._neighbour_votes(np.asarray(emb))
     votes = votes[0] if votes is not None else np.zeros_like(probs)
-    canon = {det and n for n in ()}  # placeholder no-op
     from radar_tpu.pipeline.grounding import _ALIAS
     final_named = {_ALIAS.get(n, n)
                    for n in det.detect_observations(out["report"])}
@@ -102,7 +101,10 @@ for i in range(num):
         if name not in OBSERVATION_NAMES or name == "No Finding":
             continue
         j = OBSERVATION_NAMES.index(name)
-        if j >= 12:
+        # pathology slice is [:13] everywhere else (Support Devices at
+        # 12 IS graded — the serving veto acts on it); only No Finding
+        # (13, already name-skipped above) is excluded
+        if j >= 13:
             continue
         is_fp = labels[j] < 0.5
         chan = []

@@ -7,6 +7,7 @@ import numpy as np
 import pytest
 
 from radar_tpu.core import constants
+from radar_tpu.core.config import ExpertConfig
 from radar_tpu.core.training import (baseline_loss_fn, create_train_state,
                                      gnn_loss_fn, make_eval_step,
                                      make_train_step)
@@ -128,6 +129,40 @@ def test_contrastive_loss_prefers_aligned_embeddings(cfg):
     misaligned, _ = L.contrastive_loss(emb, shuffled, 14.0, labels,
                                        cfg.expert)
     assert float(aligned) < float(misaligned)
+
+
+def test_multi_positive_infonce_t2i_targets_column_normalized():
+    """Regression: with asymmetric positive counts across the batch the
+    t2i targets must be the column-normalization of the (symmetric)
+    positive-weight matrix — equal to the row-normalized ``targets`` —
+    not ``targets.T``, whose rows don't sum to 1 and mis-weight texts."""
+    import optax
+
+    # item0={A,B}, item1={A}, item2={B}: Jaccard(0,1)=Jaccard(0,2)=0.5
+    # (positive at min_jaccard=0.5) but Jaccard(1,2)=0 -> row positive
+    # counts 3,2,2: normalizing rows vs columns of targets differs.
+    labels = jnp.zeros((3, 14)).at[0, 0].set(1).at[0, 1].set(1) \
+        .at[1, 0].set(1).at[2, 1].set(1)
+    k = jax.random.key(3)
+    img = jax.random.normal(k, (3, 16))
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = jax.random.normal(jax.random.key(4), (3, 16))
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    cfg = ExpertConfig(hard_negative_low=2.0)  # disable hinge term
+    total, parts = L.multi_positive_infonce(img, txt, 7.0, labels,
+                                            config=cfg)
+
+    weights = np.array([[1., 1., 1.], [1., 1., 0.], [1., 0., 1.]])
+    targets = weights / weights.sum(axis=1, keepdims=True)
+    sim = 7.0 * np.asarray(img @ txt.T)
+    good = 0.5 * (
+        float(jnp.mean(optax.softmax_cross_entropy(sim, targets)))
+        + float(jnp.mean(optax.softmax_cross_entropy(sim.T, targets))))
+    bad = 0.5 * (
+        float(jnp.mean(optax.softmax_cross_entropy(sim, targets)))
+        + float(jnp.mean(optax.softmax_cross_entropy(sim.T, targets.T))))
+    assert abs(float(parts["contrastive"]) - good) < 1e-5
+    assert abs(good - bad) > 1e-4    # the old code measurably differed
 
 
 def test_clinical_graph_structure():

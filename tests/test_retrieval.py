@@ -30,6 +30,25 @@ def test_index_matches_bruteforce():
         scores, np.take_along_axis(ref, ref_ids, axis=1), rtol=1e-5)
 
 
+def test_search_executable_cached_per_k():
+    """Regression: serving alternates the corroboration neighbour
+    search (top_m) with the RAG top_k every call — the jitted search
+    must be cached per k, not rebuilt on every flip, and stay exact."""
+    cfg = RetrievalConfig(embedding_dim=32, capacity=128, top_k=5)
+    idx = ShardedIndex(cfg)
+    emb = _random_embeddings(100, 32)
+    idx.add(emb)
+    q = _random_embeddings(4, 32, seed=2)
+    ref = np.argsort(-(q @ emb.T), axis=1)
+    for k in (5, 10, 5, 10):
+        _, ids = idx.search(q, k=k)
+        np.testing.assert_array_equal(ids, ref[:, :k])
+    assert set(idx._search_fns) == {5, 10}
+    fn5 = idx._search_fns[5]
+    idx.search(q, k=5)
+    assert idx._search_fns[5] is fn5   # not rebuilt on reuse
+
+
 def test_sharded_index_matches_unsharded(mesh_data):
     cfg = RetrievalConfig(embedding_dim=32, capacity=128, top_k=5)
     emb = _random_embeddings(100, 32)
