@@ -66,6 +66,13 @@ def build_parser():
                              "the deterministic loop")
     parser.add_argument("--temperature", type=float, default=0.7,
                         help="Sampling temperature for --verify_samples")
+    parser.add_argument("--oracle_targeting", action="store_true",
+                        help="DIAGNOSTIC: drive the RAG loop's expected"
+                             "-observation set from the ground-truth "
+                             "labels instead of the expert stage — "
+                             "measures the loop's value ceiling at "
+                             "perfect targeting (artifact is tagged "
+                             "targeting=oracle; never a headline)")
     parser.add_argument("--leakage_free", action="store_true",
                         help="Synthetic eval contexts use a generic "
                              "indication instead of the ground-truth "
@@ -257,7 +264,8 @@ def main(argv=None):
     else:
         results = evaluate_pipeline(pipe, samples,
                                     use_reference=args.use_reference,
-                                    verify_grounding=args.grounding)
+                                    verify_grounding=args.grounding,
+                                    oracle_targeting=args.oracle_targeting)
     os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
                 exist_ok=True)
     with open(args.output_path, "w") as f:

@@ -38,7 +38,8 @@ def observations_to_multihot(names: set[str]) -> np.ndarray:
 
 def evaluate_pipeline(pipe, samples: list[dict],
                       use_reference: bool = False,
-                      verify_grounding: bool = False) -> dict:
+                      verify_grounding: bool = False,
+                      oracle_targeting: bool = False) -> dict:
     """Run ``pipe.generate_report`` over samples and score the output.
 
     ``samples``: dicts with pixel_values/clinical_context/report/labels.
@@ -47,6 +48,10 @@ def evaluate_pipeline(pipe, samples: list[dict],
     inference.
     ``verify_grounding``: run the contribution-3.3 hallucination pass
     (entity verification + constrained regeneration) on every report.
+    ``oracle_targeting`` (diagnostic): drive the loop's expected set
+    from the GROUND-TRUTH labels instead of the expert stage — the
+    loop's value ceiling at perfect targeting.  Never a headline
+    number; the artifact is tagged ``targeting: oracle``.
     """
     det = ObservationDetector()
     bleu1, bleu4, rouges = [], [], []
@@ -55,12 +60,18 @@ def evaluate_pipeline(pipe, samples: list[dict],
     factual, halluc_found = [], 0
     stage_totals: dict[str, float] = {}
     for s in samples:
+        oracle = None
+        if oracle_targeting:
+            lab = np.asarray(s["labels"], np.float32)
+            oracle = {constants.OBSERVATION_NAMES[j]
+                      for j in range(len(lab)) if lab[j] > 0.5}
         t0 = time.perf_counter()
         out = pipe.generate_report(
             np.asarray(s["pixel_values"], np.float32),
             s["clinical_context"],
             reference_text=s["report"] if use_reference else None,
-            verify_grounding=verify_grounding)
+            verify_grounding=verify_grounding,
+            oracle_expected=oracle)
         lats.append(time.perf_counter() - t0)
         for stage, dt in out.get("timings", {}).items():
             stage_totals[stage] = stage_totals.get(stage, 0.0) + dt
@@ -118,6 +129,7 @@ def evaluate_pipeline(pipe, samples: list[dict],
             for k, v in sorted(stage_totals.items())},
         "num_samples": len(samples),
         "mode": "reference-guided" if use_reference else "blind",
+        **({"targeting": "oracle"} if oracle_targeting else {}),
     }
 
 

@@ -975,8 +975,19 @@ class RadarPipeline:
     def generate_report(self, image: np.ndarray, clinical_context: str,
                         reference_text: str | None = None,
                         prior_image: np.ndarray | None = None,
-                        verify_grounding: bool = False) -> dict:
+                        verify_grounding: bool = False,
+                        oracle_expected: set | None = None) -> dict:
         """End-to-end report generation for one study.
+
+        ``oracle_expected`` (diagnostic only): replace the loop's
+        expected-observation set — normally expert-confident ∪
+        image-neighbour-corroborated — with the given set (e.g. the
+        ground-truth labels).  Every other stage (prompt construction,
+        constrained decoding, grounding) still runs off the real expert,
+        so the measurement isolates the RAG loop's *targeting* channel:
+        loop-with-oracle vs single-pass is the loop's value ceiling at
+        perfect targeting (the quantity DESIGN.md's round-3 analysis
+        argues bounds the loop's gain by the expert stage's miss set).
 
         With ``prior_image`` (and a temporal model), the comparison
         statements from the progression classifier are appended to the
@@ -1095,10 +1106,13 @@ class RadarPipeline:
             allowed = {OBSERVATION_NAMES[j]
                        for j in range(len(OBSERVATION_NAMES))
                        if p[j] > h_th}
+        loop_expected = (set(oracle_expected)
+                         if oracle_expected is not None
+                         else expected | corroborated)
         rag_out = self.rag.generate_with_iterative_retrieval(
             pf_context, retrieval_fn, generation_fn,
             reference_text=reference_text,
-            expected_observations=expected | corroborated,
+            expected_observations=loop_expected,
             initial_generation=preliminary,
             allowed_observations=allowed)
         _mark("rag_loop")

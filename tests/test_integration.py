@@ -111,6 +111,47 @@ def test_full_radar_pipeline(cfg, dataset, tokenizer):
     assert all(v >= 0.0 for v in timings.values())
 
 
+def test_oracle_targeting_drives_loop_expected(cfg, dataset, tokenizer):
+    """The --oracle_targeting diagnostic (loop-value ceiling witness):
+    ``generate_report(oracle_expected=…)`` must replace the loop's
+    expected set (normally expert-confident ∪ corroborated) with the
+    given names restricted to the detector vocabulary, while the expert
+    stage still runs (prompt/constrained-decode inputs unchanged)."""
+    expert = create_model("baseline", cfg.vision, cfg.text, cfg.expert)
+    sample = dataset[0]
+    pv = jnp.asarray(sample["pixel_values"])[None]
+    ids = jnp.asarray(sample["input_ids"])[None]
+    mask = jnp.asarray(sample["attention_mask"])[None]
+    expert_params = expert.init(jax.random.key(0), pv, ids, mask)["params"]
+    decoder = ReportDecoder(cfg.decoder)
+    decoder_params = decoder.init(
+        jax.random.key(1), jnp.zeros((1, 8), jnp.int32),
+        jnp.ones((1, 8), jnp.int32),
+        jnp.zeros((1, cfg.decoder.prefix_dim), jnp.float32))["params"]
+    pipe = RadarPipeline(cfg, tokenizer, expert, expert_params, None,
+                         decoder, decoder_params)
+
+    oracle = {"Edema", "Cardiomegaly", "Not A Real Observation"}
+    out = pipe.generate_report(sample["pixel_values"],
+                               sample["clinical_context"],
+                               oracle_expected=oracle)
+    assert set(out["rag"]["expected_observations"]) == {
+        "Edema", "Cardiomegaly"}
+    # expert stage untouched by the oracle
+    assert isinstance(out["expert_observations"], dict)
+
+    # eval-layer wiring: oracle mode derives the set from the labels
+    # and tags the artifact
+    from radar_tpu.eval.pipeline_eval import evaluate_pipeline
+    res = evaluate_pipeline(pipe, [{
+        "pixel_values": sample["pixel_values"],
+        "clinical_context": sample["clinical_context"],
+        "report": sample["report"],
+        "labels": sample["labels"],
+    }], oracle_targeting=True)
+    assert res["targeting"] == "oracle"
+
+
 def test_pipeline_pins_params_on_device(cfg, dataset, tokenizer):
     """Host-numpy param pytrees (what Orbax restores) must be pinned
     to device at pipeline construction — jit re-uploads numpy args on
