@@ -91,6 +91,12 @@ def build_parser():
                              "bench_async_serving; this eval drives "
                              "single-study serving). Mutually "
                              "exclusive with --context_parallel")
+    parser.add_argument("--targeting_stacker", type=str, default=None,
+                        help="Path to a fit_targeting_stacker.py JSON: "
+                             "replaces the hand cross-modal veto on "
+                             "expert positives with the val-fitted "
+                             "logistic keep-rule (must be fitted on "
+                             "the same ensemble size)")
     parser.add_argument("--output_path", type=str,
                         default="./results/pipeline_evaluation.json")
     add_data_args(parser)
@@ -210,6 +216,20 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
         mngr.close()
         logger.info("restored temporal comparator from %s", tckpt)
 
+    # val-fitted logistic keep-rule on expert positives (replaces the
+    # hand cross-modal veto; fit with cli/fit_targeting_stacker.py)
+    stacker = None
+    st_path = getattr(args, "targeting_stacker", None)
+    if st_path:
+        from ..pipeline.targeting import TargetingStacker
+        if not os.path.isfile(st_path):
+            raise SystemExit(f"--targeting_stacker {st_path}: no such "
+                             f"file (fit one with "
+                             f"cli/fit_targeting_stacker.py)")
+        stacker = TargetingStacker.load(st_path)
+        logger.info("targeting stacker: %s (tau=%.2f, %d members)",
+                    st_path, stacker.tau, stacker.n_members)
+
     return RadarPipeline(cfg, tokenizer, expert, expert_params, dpr,
                          decoder, decoder_params, fusion_module,
                          fusion_params,
@@ -218,7 +238,7 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
                          ring=ring, serving_mesh=serving_mesh,
                          expert_thresholds=load_calibration(
                              args.expert_checkpoint),
-                         ensemble=ensemble)
+                         ensemble=ensemble, stacker=stacker)
 
 
 def main(argv=None):

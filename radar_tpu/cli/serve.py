@@ -37,6 +37,10 @@ def build_parser():
         description="Serve the RADAR pipeline over HTTP")
     parser.add_argument("--model_type", type=str, default="baseline")
     parser.add_argument("--expert_checkpoint", type=str, default=None)
+    parser.add_argument("--targeting_stacker", type=str, default=None,
+                        help="fit_targeting_stacker.py JSON: val-fitted"
+                             " logistic keep-rule replacing the hand "
+                             "cross-modal veto on expert positives")
     parser.add_argument("--ensemble_expert", action="append",
                         default=[], metavar="TYPE:CKPT_DIR")
     parser.add_argument("--retrieval_checkpoint", type=str,

@@ -66,7 +66,7 @@ class RadarPipeline:
                  fusion_module=None, fusion_params=None,
                  temporal_model=None, temporal_params=None,
                  ring=None, expert_thresholds=None, ensemble=None,
-                 serving_mesh=None):
+                 serving_mesh=None, stacker=None):
         #: optional (mesh, axis_name): context-parallel ring attention
         #: for decoder prefills (long-context serving over ICI)
         self.ring = ring
@@ -136,6 +136,20 @@ class RadarPipeline:
                 m_model,
                 None if m_params is None else self._pin(m_params),
                 m_th))
+        #: optional val-fitted logistic keep-rule (TargetingStacker):
+        #: replaces the hand cross-modal veto on expert positives —
+        #: +~2pp expected-set micro-F1 over the 0.7/6 rectangle on
+        #: held-out leak-free data (results/targeting_stacker_sweep.json)
+        self.stacker = stacker
+        if stacker is not None:
+            n_mem = 1 + len(self._members)
+            if stacker.n_members != n_mem:
+                raise ValueError(
+                    f"targeting stacker was fitted for "
+                    f"{stacker.n_members} ensemble member(s); this "
+                    f"pipeline runs {n_mem} — refit with "
+                    f"cli/fit_targeting_stacker.py on the serving "
+                    f"ensemble")
         # ONE jitted program for all ensemble members' calibrated
         # probabilities: per-member jit calls cost a full dispatch
         # round-trip each through the TPU relay (~90 ms) — at 3
@@ -249,14 +263,23 @@ class RadarPipeline:
         serving path used raw uncalibrated logits at a fixed 0.5,
         severing it from the trainer's calibration).  With ensemble
         members, the mean of the members' calibrated probabilities."""
+        return self._expert_prob_stack(images, input_ids,
+                                       attention_mask)[0]
+
+    def _expert_prob_stack(self, images, input_ids, attention_mask
+                           ) -> tuple[np.ndarray, np.ndarray]:
+        """(mean calibrated probs [B, n_obs], member stack [M, B,
+        n_obs]) — the stack feeds the targeting stacker's per-member
+        features; M=1 for a solo expert."""
         if self._ensemble_fwd is not None:
             stack = np.asarray(self._ensemble_fwd(
                 self._member_params(), images, input_ids,
                 attention_mask))
-            return stack.mean(0)
-        return self._calibrated_probs(
+            return stack.mean(0), stack
+        probs = self._calibrated_probs(
             self._expert_fwd, self.expert_params, images, input_ids,
             attention_mask)
+        return probs, probs[None]
 
     # ------------------------------------------------------------------
     def corroborate_observations(self, image_embeddings: np.ndarray,
@@ -393,6 +416,33 @@ class RadarPipeline:
         keep[:, nf] = True
         return decisions & keep
 
+    def _gate_positives(self, probs: np.ndarray, decisions: np.ndarray,
+                        votes: np.ndarray | None,
+                        stack: np.ndarray | None = None,
+                        nbr_ids: np.ndarray | None = None,
+                        nbr_scores: np.ndarray | None = None
+                        ) -> np.ndarray:
+        """Keep/drop rule on expert-positive decisions: the val-fitted
+        logistic keep-rule (``TargetingStacker``) when one is loaded
+        AND the neighbour features it was fitted on are available
+        (index with stored observation labels, search depth >= 20);
+        otherwise the hand cross-modal veto.  The stacker beats the
+        0.7/6 rectangle by ~2pp expected-set micro-F1 on held-out
+        leak-free splits (results/targeting_stacker_sweep.json)."""
+        from .targeting import VOTE_TOP_MS, neighbour_vote_features
+        if (self.stacker is not None and stack is not None
+                and nbr_ids is not None and nbr_scores is not None
+                and nbr_ids.shape[1] >= max(VOTE_TOP_MS)):
+            obs_mat = self._index_observations_host()
+            if obs_mat.size and obs_mat.any():
+                vf = neighbour_vote_features(
+                    np.asarray(nbr_ids), np.asarray(nbr_scores),
+                    obs_mat, self.dpr.index.count)
+                keep = self.stacker.keep_mask(
+                    stack, vf["votes10"], vf["votes20"], vf["swv10"])
+                return decisions & keep
+        return self._apply_veto(probs, decisions, votes)
+
     @staticmethod
     def _obs_index(name: str) -> int | None:
         from .grounding import _ALIAS
@@ -465,6 +515,7 @@ class RadarPipeline:
         tid = jnp.asarray(ids)[None]
         tmask = jnp.asarray(mask)[None]
         uncertainty = None
+        member_stack = None    # [M, 1, n_obs] for the targeting stacker
         # ensemble serving: the mean calibrated probability replaces
         # the single-model MC-dropout gate (members are deterministic
         # forwards; the ensemble disagreement plays the uncertainty
@@ -487,6 +538,7 @@ class RadarPipeline:
             # the members agree.  One fused dispatch for all members.
             stack = np.asarray(self._ensemble_fwd(
                 self._member_params(), pv, tid, tmask))  # [M, 1, n_obs]
+            member_stack = stack
             probs = stack.mean(0)[0]
             uncertainty = stack.std(0)[0]
             th = (threshold if threshold is not None
@@ -500,8 +552,11 @@ class RadarPipeline:
         confident = {OBSERVATION_NAMES[i]: float(probs[i])
                      for i in range(len(OBSERVATION_NAMES))
                      if confident_mask[i]}
+        if member_stack is None:
+            member_stack = np.asarray(probs)[None, None]
         return {"probs": probs, "uncertainty": uncertainty,
-                "confident_observations": confident}
+                "confident_observations": confident,
+                "member_stack": member_stack}
 
     # ------------------------------------------------------------------
     def _make_generation_fn(self, image_embedding,
@@ -751,13 +806,17 @@ class RadarPipeline:
         # k — the veto and corroboration channels slice their own
         # prefix (results are score-sorted, so a top-m slice equals a
         # fresh k=m search); saves a dispatch per batch
-        nbr_ids = None
+        nbr_ids = nbr_scores = None
         kmax = max(cfg.veto_top_m, cfg.corroborate_top_m)
+        if self.stacker is not None:
+            from .targeting import VOTE_TOP_MS
+            kmax = max(kmax, max(VOTE_TOP_MS))
         if (self._expert_fwd is not None
                 and image_embeddings is not None and self.dpr is not None
                 and self.dpr.index.count > 0 and kmax > 0):
-            _, nbr_ids = self.dpr.index.search(
+            nbr_scores, nbr_ids = self.dpr.index.search(
                 np.asarray(image_embeddings), kmax)
+            nbr_scores = np.asarray(nbr_scores)
             nbr_ids = np.asarray(nbr_ids)
 
         expert_obs = [{} for _ in range(n)]
@@ -766,7 +825,7 @@ class RadarPipeline:
         if self._expert_fwd is not None:
             ids, mask = self.tokenizer.encode_batch(
                 clinical_contexts, self.config.text.max_length)
-            probs = self._expert_probs(
+            probs, prob_stack = self._expert_prob_stack(
                 self._put_batch(np.stack(images)), self._put_batch(ids),
                 self._put_batch(mask))
             th = np.broadcast_to(
@@ -775,7 +834,9 @@ class RadarPipeline:
             votes = (self._neighbour_votes(np.asarray(image_embeddings),
                                            neighbour_ids=nbr_ids)
                      if image_embeddings is not None else None)
-            decisions = self._apply_veto(probs, probs > th, votes)
+            decisions = self._gate_positives(probs, probs > th, votes,
+                                             prob_stack, nbr_ids,
+                                             nbr_scores)
             q_obs = decisions.astype(np.float32)
             for i in range(n):
                 expert_obs[i] = {
@@ -1031,14 +1092,18 @@ class RadarPipeline:
         # shared image-neighbour search for the veto + corroboration
         # channels (one dispatch; slices are exact — see the batched
         # path)
-        nbr_ids = None
+        nbr_ids = nbr_scores = None
         rag_cfg = self.config.rag
         kmax = max(rag_cfg.veto_top_m, rag_cfg.corroborate_top_m)
+        if self.stacker is not None:
+            from .targeting import VOTE_TOP_MS
+            kmax = max(kmax, max(VOTE_TOP_MS))
         if (self._expert_fwd is not None and image_embedding is not None
                 and self.dpr is not None and self.dpr.index.count > 0
                 and kmax > 0):
-            _, nbr_ids = self.dpr.index.search(
+            nbr_scores, nbr_ids = self.dpr.index.search(
                 np.asarray(image_embedding), kmax)
+            nbr_scores = np.asarray(nbr_scores)
             nbr_ids = np.asarray(nbr_ids)
 
         expert_out = None
@@ -1051,9 +1116,10 @@ class RadarPipeline:
             votes = (self._neighbour_votes(np.asarray(image_embedding),
                                            neighbour_ids=nbr_ids)
                      if image_embedding is not None else None)
-            decisions = self._apply_veto(
+            decisions = self._gate_positives(
                 expert_out["probs"][None],
-                (expert_out["probs"] > th)[None], votes)[0]
+                (expert_out["probs"] > th)[None], votes,
+                expert_out.get("member_stack"), nbr_ids, nbr_scores)[0]
             q_obs = decisions.astype(np.float32)[None]
             expert_out["confident_observations"] = {
                 name: p
