@@ -19,6 +19,7 @@ import numpy as np
 from ..eval.metrics import f1_scores
 from ..models.experts import create_model
 from ..models.uncertainty import calibrate_temperature, fit_thresholds
+from ..utils.contention import maybe_yield
 from .checkpoint import CheckpointManager
 from .config import RadarConfig
 from .logging import MetricWriter, get_logger
@@ -162,6 +163,7 @@ class ExpertTrainer:
             epoch_batches = (prefetch_to_device(train_batches(), self.mesh)
                              if self.mesh is not None else train_batches())
             for b in epoch_batches:
+                maybe_yield()  # park between steps if a bench holds the relay
                 state, metrics = train_step(state, b, rng)
                 if cfg.nan_guard and float(
                         metrics["skipped_nonfinite"]) > 0:
@@ -227,6 +229,7 @@ class ExpertTrainer:
         for epoch in range(cfg.pretrain_epochs):
             losses = []
             for batch in train_batches():
+                maybe_yield()
                 b = (shard_batch(self.mesh, batch)
                      if self.mesh is not None else batch)
                 state, metrics = pre_step(state, b, rng)

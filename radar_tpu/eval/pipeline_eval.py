@@ -19,6 +19,7 @@ import numpy as np
 from ..core import constants
 from ..pipeline.observations import ObservationDetector
 from . import metrics as M
+from ..utils.contention import maybe_yield
 
 # RAG detector vocabulary -> canonical CheXpert-14 name
 _ALIAS = {
@@ -60,6 +61,7 @@ def evaluate_pipeline(pipe, samples: list[dict],
     factual, halluc_found = [], 0
     stage_totals: dict[str, float] = {}
     for s in samples:
+        maybe_yield()
         oracle = None
         if oracle_targeting:
             lab = np.asarray(s["labels"], np.float32)
@@ -145,6 +147,7 @@ def evaluate_pipeline_verification(pipe, samples: list[dict],
     bleu4, rouges, cons, lats = [], [], [], []
     preds, labels = [], []
     for i, s in enumerate(samples):
+        maybe_yield()
         t0 = time.perf_counter()
         out = pipe.generate_report_with_verification(
             np.asarray(s["pixel_values"], np.float32),

@@ -17,6 +17,7 @@ from ..core.logging import get_logger
 from ..pipeline.observations import ObservationDetector
 from ..pipeline.rag import IterativeRAG
 from . import metrics as M
+from ..utils.contention import maybe_yield
 
 logger = get_logger("radar_tpu.retrieval_eval")
 
@@ -198,6 +199,7 @@ class RAGEvaluator:
         finals, references = [], []
 
         for sample in samples:
+            maybe_yield()
             gen_fn = generation_fn_factory(sample)
             result = self.rag.generate_with_iterative_retrieval(
                 sample["initial_findings"], retrieval_fn, gen_fn,

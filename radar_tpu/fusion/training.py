@@ -23,6 +23,7 @@ import optax
 from ..core.config import RadarConfig
 from ..core.logging import get_logger
 from ..core.training import make_optimizer
+from ..utils.contention import maybe_yield
 from .fusion import AttentionKnowledgeFusion
 
 logger = get_logger("radar_tpu.fusion.train")
@@ -143,6 +144,7 @@ def train_fusion_on_texts(config: RadarConfig, labels: np.ndarray,
     n = labels.shape[0]
     history = []
     for epoch in range(epochs):
+        maybe_yield()
         losses, accs = [], []
         order = rng_np.permutation(n)
         for s in range(0, n - batch_size + 1, batch_size):
@@ -212,6 +214,7 @@ def train_fusion(config: RadarConfig, labels: np.ndarray,
     history = []
     n = labels.shape[0]
     for epoch in range(epochs):
+        maybe_yield()
         losses, accs = [], []
         for start in range(0, n - batch_size + 1, batch_size):
             batch_np = synthesize_fusion_batch(

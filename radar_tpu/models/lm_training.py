@@ -21,6 +21,7 @@ from ..core.config import RadarConfig
 from ..core.logging import get_logger
 from ..core.training import make_optimizer
 from ..data.tokenizer import Tokenizer
+from ..utils.contention import maybe_yield
 from .decoder import ReportDecoder, lm_loss
 
 logger = get_logger("radar_tpu.lm")
@@ -192,6 +193,7 @@ def train_decoder_lm(config: RadarConfig,
 
     history = []
     for epoch in range(epochs):
+        maybe_yield()
         losses = []
         for batch in batches():
             batch = {k: jnp.asarray(v) for k, v in batch.items()}

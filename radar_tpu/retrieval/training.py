@@ -21,6 +21,7 @@ from ..core.config import RadarConfig
 from ..core.logging import get_logger
 from ..core.training import make_optimizer
 from ..models.losses import contrastive_loss, multi_positive_infonce
+from ..utils.contention import maybe_yield
 from .embedder import CrossModalEmbedder
 
 logger = get_logger("radar_tpu.retrieval.train")
@@ -102,6 +103,7 @@ def train_embedder(config: RadarConfig,
 
     history = []
     for epoch in range(epochs):
+        maybe_yield()
         losses = []
         for batch in batches():
             params, opt_state, loss = step(params, opt_state, batch)
