@@ -21,6 +21,7 @@ import time
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.io import atomic_write_json
 
 # calibrated effective bf16 peak of the v5e chip through the relay
 # (CLAUDE.md; measured with a pure [8k x 8k] matmul chain in round 1)
@@ -249,8 +250,7 @@ def main(argv=None):
     import os
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),
                 exist_ok=True)
-    with open(args.output, "w") as f:
-        json.dump(result, f, indent=2)
+    atomic_write_json(args.output, result, indent=2)
     for r in rows:
         print(f"{r['component']:>12} B={r['batch']:<4} "
               f"{r['ms']:8.2f} ms  {r['tflops']:6.1f} TF/s  "

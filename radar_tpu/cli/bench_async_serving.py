@@ -30,6 +30,7 @@ from .common import (add_common_args, add_data_args, build_datasets,
                      load_config, make_tokenizer)
 from .evaluate_pipeline import build_pipeline_from_args
 from .evaluate_retrieval_system import _normalized_image
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.bench_async_serving")
 
@@ -147,8 +148,7 @@ def main(argv=None):
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),
                 exist_ok=True)
-    with open(args.output, "w") as f:
-        json.dump(result, f, indent=2)
+    atomic_write_json(args.output, result, indent=2)
     print(json.dumps(result, indent=2))
     return result
 

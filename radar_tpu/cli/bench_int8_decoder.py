@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.logging import get_logger
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.bench_int8")
 
@@ -149,8 +150,7 @@ def main(argv=None):
 
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),
                 exist_ok=True)
-    with open(args.output, "w") as f:
-        json.dump(result, f, indent=2)
+    atomic_write_json(args.output, result, indent=2)
     print(json.dumps(result["rows"], indent=1))
     return result
 

@@ -26,6 +26,7 @@ import numpy as np
 
 from ..core.logging import get_logger
 from .common import add_common_args, load_config, make_tokenizer
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.bench_longcontext")
 
@@ -129,8 +130,7 @@ def main(argv=None):
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),
                 exist_ok=True)
-    with open(args.output, "w") as f:
-        json.dump(result, f, indent=2)
+    atomic_write_json(args.output, result, indent=2)
     logger.info("CP prefill %.2fs vs single %.2fs, identical=%s",
                 t_cp, t_sd, result["outputs_identical"])
     print(json.dumps(result, indent=2))

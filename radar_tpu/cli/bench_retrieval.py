@@ -28,6 +28,7 @@ import numpy as np
 from ..core.config import RetrievalConfig
 from ..core.logging import get_logger
 from ..retrieval.index import ShardedIndex
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.bench_retrieval")
 
@@ -128,8 +129,7 @@ def main(argv=None):
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),
                 exist_ok=True)
-    with open(args.output, "w") as f:
-        json.dump(result, f, indent=2)
+    atomic_write_json(args.output, result, indent=2)
     print(json.dumps(result, indent=2))
     return result
 

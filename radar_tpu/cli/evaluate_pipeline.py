@@ -32,6 +32,7 @@ from .common import (add_common_args, make_tokenizer, add_data_args, build_datas
                      load_config)
 from .evaluate_expert_models import load_calibration, load_model_params
 from .evaluate_retrieval_system import _normalized_image
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.eval_pipeline")
 
@@ -288,8 +289,7 @@ def main(argv=None):
                                     oracle_targeting=args.oracle_targeting)
     os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
                 exist_ok=True)
-    with open(args.output_path, "w") as f:
-        json.dump(results, f, indent=2)
+    atomic_write_json(args.output_path, results, indent=2)
     logger.info("pipeline eval: bleu_4=%.3f obs_micro_f1=%.3f "
                 "p50=%.2fs -> %s", results["bleu_4"],
                 results["observation_micro_f1"],

@@ -21,6 +21,7 @@ from ..core.checkpoint import load_params
 from ..core.logging import get_logger
 from .common import add_common_args, add_data_args, build_datasets, \
     load_config, make_tokenizer
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.eval_retrieval")
 
@@ -189,8 +190,7 @@ def main(argv=None):
                 exist_ok=True)
     payload = {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
                "measured": True, "results": results}
-    with open(args.output_path, "w") as f:
-        json.dump(payload, f, indent=2, default=str)
+    atomic_write_json(args.output_path, payload, indent=2, default=str)
     logger.info("results -> %s", args.output_path)
     return results
 

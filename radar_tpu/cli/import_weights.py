@@ -20,6 +20,7 @@ import os
 
 from ..core.checkpoint import save_params
 from ..core.logging import get_logger
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.import")
 
@@ -79,8 +80,7 @@ def main(argv=None):
                            "vocab_size": cfg.vocab_size}
         logger.info("imported text tower: %s", summary["text"])
 
-    with open(os.path.join(args.output, "import_summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    atomic_write_json(os.path.join(args.output, "import_summary.json"), summary, indent=2)
     print(json.dumps(summary, indent=2))
     return summary
 

@@ -21,6 +21,7 @@ from ..core.trainer import ExpertTrainer
 from .common import (add_common_args, make_tokenizer, add_data_args,
                      batch_iterator_factory, build_datasets, load_config,
                      make_mesh, steps_per_epoch)
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.train")
 
@@ -100,8 +101,7 @@ def main(argv=None) -> dict:
         args.output_dir,
         f"{args.model_type}_results_{int(time.time())}.json")
     os.makedirs(args.output_dir, exist_ok=True)
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2, default=str)
+    atomic_write_json(out_path, results, indent=2, default=str)
     logger.info("results -> %s (best: %s)", out_path, best)
     return results
 

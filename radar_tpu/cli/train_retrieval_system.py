@@ -26,6 +26,7 @@ from ..core.logging import get_logger
 from .common import (add_common_args, make_tokenizer, add_data_args,
                      batch_iterator_factory, build_datasets, load_config,
                      steps_per_epoch)
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.train_retrieval")
 
@@ -195,8 +196,7 @@ def main(argv=None):
 
     out_path = os.path.join(args.output_dir,
                             f"training_results_{int(time.time())}.json")
-    with open(out_path, "w") as f:
-        json.dump(results, f, indent=2, default=str)
+    atomic_write_json(out_path, results, indent=2, default=str)
     logger.info("results -> %s", out_path)
     return results
 

@@ -32,6 +32,7 @@ from ..models.temporal import (PROGRESSION_LEVELS, TemporalComparator,
                                derive_progression_labels,
                                temporal_loss_fn)
 from .common import add_common_args, add_data_args, load_config, make_mesh
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.train_temporal")
 
@@ -176,8 +177,7 @@ def main(argv=None):
         results["validation_natural_rates"] = nat
     os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
                 exist_ok=True)
-    with open(args.output_path, "w") as f:
-        json.dump(results, f, indent=2)
+    atomic_write_json(args.output_path, results, indent=2)
     logger.info("progression acc=%.3f macro_f1=%.3f statements=%.3f -> %s",
                 val["progression_accuracy"],
                 val["progression_macro_f1"],

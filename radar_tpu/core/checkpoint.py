@@ -13,6 +13,7 @@ import os
 from typing import Any
 
 import orbax.checkpoint as ocp
+from ..utils.io import atomic_write_json
 
 
 class CheckpointManager:
@@ -55,9 +56,9 @@ class CheckpointManager:
                     or (mode == "min" and value < best["value"]))
         if improved:
             self.save(step, state, metrics={metric_name: float(value)})
-            with open(self._best_path, "w") as f:
-                json.dump({"step": step, "metric": metric_name,
-                           "value": float(value)}, f)
+            atomic_write_json(self._best_path,
+                              {"step": step, "metric": metric_name,
+                               "value": float(value)})
         return improved
 
     def best_info(self) -> dict | None:

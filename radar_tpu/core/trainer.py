@@ -28,6 +28,7 @@ from .training import (baseline_loss_fn, compute_dtype, create_train_state,
                        contrastive_pretrain_loss_fn, gnn_loss_fn,
                        make_eval_step, make_train_step, make_optimizer,
                        replicate_state, TrainState)
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.trainer")
 
@@ -268,8 +269,7 @@ class ExpertTrainer:
             import json
             import os
             path = os.path.join(self.ckpt.directory, "calibration.json")
-            with open(path, "w") as f:
-                json.dump(self.calibration, f)
+            atomic_write_json(path, self.calibration)
             logger.info("wrote per-class thresholds -> %s", path)
         return th
 

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..core import constants
 from ..core.logging import get_logger
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.prep")
 
@@ -161,8 +162,7 @@ def prepare_dataset(csv_path: str, output_dir: str,
                           ("observation.json", observation),
                           ("clinical_context.json", clinical_context)):
         path = os.path.join(output_dir, name)
-        with open(path, "w") as f:
-            json.dump(payload, f)
+        atomic_write_json(path, payload)
         outputs[name] = path
     logger.info("prepared %d records -> %s", n, output_dir)
     return {"num_records": n,

@@ -16,6 +16,7 @@ import re
 import numpy as np
 
 from ..core import constants
+from ..utils.io import atomic_write_json
 
 PAD, CLS, SEP, UNK = 0, 1, 2, 3
 SPECIALS = ("[PAD]", "[CLS]", "[SEP]", "[UNK]")
@@ -67,8 +68,7 @@ class Tokenizer:
 
     # -- persistence -------------------------------------------------------
     def save(self, path: str) -> None:
-        with open(path, "w") as f:
-            json.dump(self.vocab, f)
+        atomic_write_json(path, self.vocab)
 
     @classmethod
     def load(cls, path: str) -> "Tokenizer":

@@ -19,6 +19,7 @@ from ..core import constants
 from ..core.logging import get_logger
 from ..eval import metrics as M
 from ..models.uncertainty import mc_dropout_predict
+from ..utils.io import atomic_write_json
 
 logger = get_logger("radar_tpu.eval")
 
@@ -161,7 +162,6 @@ class ModelEvaluator:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         payload = {"timestamp": time.strftime("%Y-%m-%d %H:%M:%S"),
                    "results": self.results}
-        with open(path, "w") as f:
-            json.dump(payload, f, indent=2, default=str)
+        atomic_write_json(path, payload, indent=2, default=str)
         logger.info("saved results -> %s", path)
         return path

@@ -35,6 +35,7 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from ..core.constants import OBSERVATION_NAMES
+from ..utils.io import atomic_write_json
 
 #: neighbour depths the feature builder consumes — the pipeline's
 #: shared image-neighbour search must fetch at least ``max(VOTE_TOP_MS)``
@@ -169,8 +170,7 @@ class TargetingStacker:
         }
         d = os.path.dirname(os.path.abspath(path))
         os.makedirs(d, exist_ok=True)
-        with open(path, "w") as f:
-            json.dump(payload, f, indent=2)
+        atomic_write_json(path, payload, indent=2)
 
     @classmethod
     def load(cls, path: str) -> "TargetingStacker":
