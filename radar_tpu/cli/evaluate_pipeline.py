@@ -287,6 +287,14 @@ def main(argv=None):
                                     use_reference=args.use_reference,
                                     verify_grounding=args.grounding,
                                     oracle_targeting=args.oracle_targeting)
+    # which positive gate actually ran (advisor round-3: a loaded
+    # stacker can silently fall back to the hand veto — make it visible
+    # in the artifact)
+    results["targeting_gate_counts"] = dict(pipe.gate_counts)
+    if pipe.stacker is not None and pipe.gate_counts["stacker"] == 0 \
+            and pipe.gate_counts["veto"] > 0:
+        results["targeting_gate_warning"] = (
+            "stacker loaded but never ran; hand-veto fallback was used")
     os.makedirs(os.path.dirname(os.path.abspath(args.output_path)),
                 exist_ok=True)
     atomic_write_json(args.output_path, results, indent=2)

@@ -141,6 +141,12 @@ class RadarPipeline:
         #: +~2pp expected-set micro-F1 over the 0.7/6 rectangle on
         #: held-out leak-free data (results/targeting_stacker_sweep.json)
         self.stacker = stacker
+        #: which positive gate actually ran, per call — surfaced in eval
+        #: artifacts so an operator can see a silent veto fallback
+        #: (advisor round-3): a run with --targeting_stacker can
+        #: otherwise report veto numbers unnoticed.
+        self.gate_counts = {"stacker": 0, "veto": 0}
+        self._warned_stacker_fallback = False
         if stacker is not None:
             n_mem = 1 + len(self._members)
             if stacker.n_members != n_mem:
@@ -440,7 +446,18 @@ class RadarPipeline:
                     obs_mat, self.dpr.index.count)
                 keep = self.stacker.keep_mask(
                     stack, vf["votes10"], vf["votes20"], vf["swv10"])
+                self.gate_counts["stacker"] += 1
                 return decisions & keep
+        if self.stacker is not None and not self._warned_stacker_fallback:
+            # loaded stacker silently not running is an operator trap
+            self._warned_stacker_fallback = True
+            logger.warning(
+                "targeting stacker is loaded but its neighbour features "
+                "are unavailable (index without stored observation "
+                "labels, or search depth < %d) — falling back to the "
+                "hand veto; eval artifacts carry gate_counts",
+                max(VOTE_TOP_MS))
+        self.gate_counts["veto"] += 1
         return self._apply_veto(probs, decisions, votes)
 
     @staticmethod
@@ -531,6 +548,12 @@ class RadarPipeline:
             uncertainty = np.asarray(out["std_probs"])[0]
             th = np.asarray(self.expert_params["thresholds"])
             confident_mask = (probs > th) & (uncertainty < max_uncertainty)
+            if self.stacker is not None:
+                # fit/serve feature parity (advisor round-3): the
+                # stacker is fitted on the deterministic calibrated
+                # forward (_expert_prob_stack), not MC-dropout means —
+                # featurize with the same forward here.
+                member_stack = self._expert_prob_stack(pv, tid, tmask)[1]
         elif self._members:
             # ensemble serving: member DISAGREEMENT is the predictive
             # uncertainty (the MC-dropout std's role) — an observation

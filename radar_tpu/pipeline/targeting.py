@@ -41,8 +41,14 @@ from ..utils.io import atomic_write_json
 #: shared image-neighbour search must fetch at least ``max(VOTE_TOP_MS)``
 #: neighbours when a stacker is active.
 VOTE_TOP_MS = (10, 20)
-FEATURE_SPEC = ("mean,std,max,min,member_probs,votes10,votes20,"
-                "swv10,obs_onehot,bias")
+#: depth of the score-weighted vote feature; referenced by both the
+#: feature builder loop and FEATURE_SPEC so the two cannot drift
+#: (advisor round-3: a hardcoded ``m == 10`` silently dropped the
+#: feature if VOTE_TOP_MS changed).
+SWV_TOP_M = 10
+assert SWV_TOP_M in VOTE_TOP_MS
+FEATURE_SPEC = (f"mean,std,max,min,member_probs,votes{VOTE_TOP_MS[0]},"
+                f"votes{VOTE_TOP_MS[1]},swv{SWV_TOP_M},obs_onehot,bias")
 
 
 def neighbour_vote_features(nbr_ids: np.ndarray,
@@ -68,7 +74,7 @@ def neighbour_vote_features(nbr_ids: np.ndarray,
             sel = nbr_ids[r, :m]
             ok = (sel >= 0) & (sel < count)
             out[f"votes{m}"][r] = obs_mat[sel[ok]].sum(0)
-            if m == 10:
+            if m == SWV_TOP_M:
                 out["swv10"][r] = (obs_mat[sel[ok]]
                                    * nbr_scores[r, :m][ok, None]).sum(0)
     return out
@@ -89,7 +95,8 @@ def build_features(stack: np.ndarray, votes10: np.ndarray,
     n, n_obs = mean.shape
     feats = [mean, std, mx, mn]
     feats += [stack[m] for m in range(stack.shape[0])]
-    feats += [votes10 / 10.0, votes20 / 20.0, swv10 / 10.0]
+    feats += [votes10 / float(VOTE_TOP_MS[0]), votes20 / float(VOTE_TOP_MS[1]),
+              swv10 / float(SWV_TOP_M)]
     x = np.stack(feats, axis=-1)
     eye = np.broadcast_to(np.eye(n_obs, dtype=np.float32),
                           (n, n_obs, n_obs))
@@ -193,17 +200,31 @@ def fit_positive_keep_stacker(stack: np.ndarray, labels: np.ndarray,
                               thresholds: np.ndarray,
                               votes10: np.ndarray, votes20: np.ndarray,
                               swv10: np.ndarray, tau: float = 0.5,
-                              meta: dict | None = None
+                              meta: dict | None = None,
+                              min_region_cells: int = 50
                               ) -> TargetingStacker:
     """Fit the keep-rule on the POSITIVE region (mean prob > threshold,
     ``No Finding`` excluded) of a validation split: y = the cell's
     ground-truth label, i.e. the stacker learns which expert positives
-    are real.  ``thresholds``: [n_obs] mean decision thresholds."""
+    are real.  ``thresholds``: [n_obs] mean decision thresholds.
+
+    Refuses a fit region smaller than ``min_region_cells`` (advisor
+    round-3: an empty region yields all-zero weights, keep_probs 0.5
+    everywhere, and the strict ``> tau`` comparison then silently drops
+    EVERY expert positive — a recall-destroying artifact)."""
     stack = np.asarray(stack, np.float32)
     mean = stack.mean(0)
     region = mean > np.broadcast_to(
         np.asarray(thresholds, np.float32), mean.shape)
     region[:, OBSERVATION_NAMES.index("No Finding")] = False
+    n_cells = int(region.sum())
+    if n_cells < min_region_cells:
+        raise ValueError(
+            f"stacker fit region has {n_cells} expert-positive cells "
+            f"(< {min_region_cells}): the fitted rule would be "
+            f"degenerate (keep_probs ~0.5 everywhere -> drops all "
+            f"positives at tau). Fit on more validation studies or "
+            f"stronger experts.")
     x = build_features(stack, votes10, votes20, swv10)
     y = (np.asarray(labels) > 0.5)[region].astype(np.float64)
     w = fit_logistic(x[region], y)

@@ -237,3 +237,25 @@ def test_fit_cli_and_eval_knob(tmp_path):
                    "--targeting_stacker", out,
                    "--output_path", str(tmp_path / "pe.json")])
     assert np.isfinite(r["bleu_4"])
+
+
+def test_fit_refuses_degenerate_region():
+    """Advisor round-3: an (near-)empty fit region yields all-zero
+    weights -> keep_probs 0.5 everywhere -> every positive dropped at
+    tau=0.5.  The fit must refuse instead of saving that artifact."""
+    rng = np.random.default_rng(2)
+    stack, labels, v10, v20, swv = _synthetic_features(rng, 8)
+    th = np.full(N_OBS, 0.999, np.float32)   # region ~empty
+    with pytest.raises(ValueError, match="fit region"):
+        fit_positive_keep_stacker(stack, labels, th, v10, v20, swv)
+
+
+def test_feature_spec_tracks_vote_constants():
+    """The swv depth is derived from SWV_TOP_M everywhere (advisor
+    round-3: a hardcoded m==10 silently dropped the feature if
+    VOTE_TOP_MS changed)."""
+    from radar_tpu.pipeline.targeting import (FEATURE_SPEC, SWV_TOP_M,
+                                              VOTE_TOP_MS)
+    assert f"swv{SWV_TOP_M}" in FEATURE_SPEC
+    for m in VOTE_TOP_MS:
+        assert f"votes{m}" in FEATURE_SPEC
