@@ -26,10 +26,10 @@ Then serve/evaluate with ``--targeting_stacker
 bench_serving / serve / bench_async_serving.
 
 Note: the features are the DETERMINISTIC calibrated member forwards
-(the fused ensemble program serving uses).  A solo MC-dropout
-uncertainty expert's single-study path gates on the MC mean instead —
-fit on the ensemble you serve (the shipping config is the 3-expert
-ensemble, where fit and serve features match exactly).
+(the fused ensemble program serving uses).  The solo MC-dropout
+single-study path also featurizes the stacker with the deterministic
+calibrated forward (round-4 advisor fix), so fit and serve features
+match for every config.
 
 Reference role: net-new — the reference's TargetedRetriever
 (``modeling_iterative_rag.py:110-152``) has no expert-seeded targeting.
@@ -67,19 +67,29 @@ def build_parser():
     parser.add_argument("--fit_chunk", type=int, default=64,
                         help="Member-forward batch size during "
                              "featurization")
+    parser.add_argument("--fit_shift", action="append", default=None,
+                        metavar="NOISE:SHIFT_SEED",
+                        help="Also fit on a shifted val split (e.g. "
+                             "'0.5:2000'): domain-mixed fitting makes "
+                             "the keep-rule robust to score/vote "
+                             "distribution shift.  Use a shift seed "
+                             "DISJOINT from any eval split.  "
+                             "Repeatable.")
     return parser
 
 
 def featurize_split(pipe, cfg, tokenizer, seed: int, num: int,
-                    chunk: int = 64) -> dict:
+                    chunk: int = 64, noise: float | None = None) -> dict:
     """Member prob stack + neighbour-vote features + labels for a
     leak-free synthetic split, computed with the pipeline's own
     serving-path machinery (fused ensemble forward, shared sorted
     neighbour search)."""
     from ..data.synthetic import SyntheticCXRDataset
+    kw = {} if noise is None else {"noise": noise}
     ds = SyntheticCXRDataset(num, cfg.vision.image_size,
                              cfg.text.max_length, seed=seed,
-                             tokenizer=tokenizer, leak_labels=False)
+                             tokenizer=tokenizer, leak_labels=False,
+                             **kw)
     images, contexts, labels = [], [], []
     for i in range(num):
         s = ds[i]
@@ -133,16 +143,29 @@ def main(argv=None):
     num = args.num_samples
     f = featurize_split(pipe, cfg, tokenizer, args.val_seed, num,
                         chunk=args.fit_chunk)
+    for spec in args.fit_shift or []:
+        noise_s, seed_s = spec.split(":")
+        # same scaling rule as cli/common.py shift seeds: far past any
+        # per-index seed of the base splits
+        fs = featurize_split(pipe, cfg, tokenizer,
+                             100 + int(seed_s) * 100_000, num,
+                             chunk=args.fit_chunk,
+                             noise=float(noise_s))
+        f = {k: np.concatenate([f[k], fs[k]],
+                               axis=1 if k == "stack" else 0)
+             for k in f}
+        logger.info("fit split widened with shifted domain %s", spec)
     th = np.broadcast_to(np.asarray(pipe._thresholds(), np.float32),
                          (len(OBSERVATION_NAMES),))
 
     stacker = fit_positive_keep_stacker(
         f["stack"], f["labels"], th, f["votes10"], f["votes20"],
-        f["swv10"], tau=args.tau,
+        f["swv10"], tau=args.tau, score_stats=f["score_stats"],
         meta={"val_seed": args.val_seed, "num_studies": num,
               "model_type": args.model_type,
               "expert_checkpoint": args.expert_checkpoint,
-              "ensemble": list(args.ensemble_expert or [])})
+              "ensemble": list(args.ensemble_expert or []),
+              "fit_shift": list(args.fit_shift or [])})
 
     # fit-split report: stacker keep vs the hand veto vs no veto
     mean = f["stack"].mean(0)
@@ -156,7 +179,8 @@ def main(argv=None):
             expected_set_f1(pos & veto_keep, f["labels"]),
         f"stacker_tau_{args.tau}": expected_set_f1(
             pos & stacker.keep_mask(f["stack"], f["votes10"],
-                                    f["votes20"], f["swv10"]),
+                                    f["votes20"], f["swv10"],
+                                    f["score_stats"]),
             f["labels"]),
     }
     stacker.meta["fit_split_expected_set"] = rows

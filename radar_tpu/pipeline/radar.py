@@ -445,7 +445,8 @@ class RadarPipeline:
                     np.asarray(nbr_ids), np.asarray(nbr_scores),
                     obs_mat, self.dpr.index.count)
                 keep = self.stacker.keep_mask(
-                    stack, vf["votes10"], vf["votes20"], vf["swv10"])
+                    stack, vf["votes10"], vf["votes20"], vf["swv10"],
+                    vf["score_stats"])
                 self.gate_counts["stacker"] += 1
                 return decisions & keep
         if self.stacker is not None and not self._warned_stacker_fallback:

@@ -47,8 +47,17 @@ VOTE_TOP_MS = (10, 20)
 #: feature if VOTE_TOP_MS changed).
 SWV_TOP_M = 10
 assert SWV_TOP_M in VOTE_TOP_MS
+#: v2 (round-4, verdict item 4): adds the signals the pipeline already
+#: computes at gate time but v1 never saw — retrieval score stats
+#: (top-1, mean@10, margin) per study, the score-normalized vote mass,
+#: and the |mean prob - vote fraction| cross-modal disagreement delta.
+#: (Fusion conflict scores stay out: serving computes them on
+#: RETRIEVED passages later in the loop, so a gate-time conflict
+#: feature would cost an extra fusion dispatch per batch.)
 FEATURE_SPEC = (f"mean,std,max,min,member_probs,votes{VOTE_TOP_MS[0]},"
-                f"votes{VOTE_TOP_MS[1]},swv{SWV_TOP_M},obs_onehot,bias")
+                f"votes{VOTE_TOP_MS[1]},swv{SWV_TOP_M},swv_norm,"
+                f"vote_delta,score_top1,score_mean{SWV_TOP_M},"
+                f"score_margin,obs_onehot,bias")
 
 
 def neighbour_vote_features(nbr_ids: np.ndarray,
@@ -67,6 +76,7 @@ def neighbour_vote_features(nbr_ids: np.ndarray,
     out = {f"votes{m}": np.zeros((n, n_obs), np.float32)
            for m in VOTE_TOP_MS}
     out["swv10"] = np.zeros((n, n_obs), np.float32)
+    out["score_stats"] = np.zeros((n, 3), np.float32)
     if obs_mat.size == 0:
         return out
     for r in range(n):
@@ -77,26 +87,53 @@ def neighbour_vote_features(nbr_ids: np.ndarray,
             if m == SWV_TOP_M:
                 out["swv10"][r] = (obs_mat[sel[ok]]
                                    * nbr_scores[r, :m][ok, None]).sum(0)
+        # retrieval-confidence stats over the swv window: top-1 score,
+        # mean, and the top1-mean margin (how peaked the neighbourhood
+        # is — a flat neighbourhood makes votes less trustworthy)
+        sc = nbr_scores[r, :SWV_TOP_M].astype(np.float32)
+        if sc.size:
+            out["score_stats"][r] = (sc[0], sc.mean(), sc[0] - sc.mean())
     return out
 
 
 def build_features(stack: np.ndarray, votes10: np.ndarray,
-                   votes20: np.ndarray, swv10: np.ndarray) -> np.ndarray:
+                   votes20: np.ndarray, swv10: np.ndarray,
+                   score_stats: np.ndarray | None = None) -> np.ndarray:
     """[N, n_obs, F] stacker feature tensor.
 
     ``stack`` [M, N, n_obs]: per-member calibrated probabilities (the
-    fused ensemble forward's output; M=1 for a solo expert).  The
-    column order must match :data:`FEATURE_SPEC` — the fitted weights
-    key on it.
+    fused ensemble forward's output; M=1 for a solo expert).
+    ``score_stats`` [N, 3]: per-study neighbour score top-1 / mean /
+    margin from :func:`neighbour_vote_features` (zeros when absent).
+    The column order must match :data:`FEATURE_SPEC` — the fitted
+    weights key on it.
     """
     stack = np.asarray(stack, np.float32)
     mean, std = stack.mean(0), stack.std(0)
     mx, mn = stack.max(0), stack.min(0)
     n, n_obs = mean.shape
+    if score_stats is None:
+        score_stats = np.zeros((n, 3), np.float32)
+    score_stats = np.asarray(score_stats, np.float32)
+    vote_frac10 = votes10 / float(VOTE_TOP_MS[0])
+    # score-normalized vote mass: swv relative to total available
+    # score mass in the window (mean score * window).  Falls back to
+    # the plain /M normalization when score stats are absent or
+    # degenerate (all-zero scores would otherwise blow the feature up
+    # and wreck the logistic fit), and clips: a normalized mass > 2
+    # carries no extra information.
+    mean_score = score_stats[:, 1:2]
+    swv_norm = np.where(mean_score > 1e-3,
+                        swv10 / np.maximum(mean_score * SWV_TOP_M, 1e-6),
+                        swv10 / float(SWV_TOP_M))
+    swv_norm = np.clip(swv_norm, 0.0, 2.0)  # [N, n_obs]
     feats = [mean, std, mx, mn]
     feats += [stack[m] for m in range(stack.shape[0])]
-    feats += [votes10 / float(VOTE_TOP_MS[0]), votes20 / float(VOTE_TOP_MS[1]),
-              swv10 / float(SWV_TOP_M)]
+    feats += [vote_frac10, votes20 / float(VOTE_TOP_MS[1]),
+              swv10 / float(SWV_TOP_M), swv_norm,
+              np.abs(mean - vote_frac10)]  # cross-modal disagreement
+    feats += [np.broadcast_to(score_stats[:, j:j + 1], mean.shape)
+              for j in range(3)]
     x = np.stack(feats, axis=-1)
     eye = np.broadcast_to(np.eye(n_obs, dtype=np.float32),
                           (n, n_obs, n_obs))
@@ -127,11 +164,18 @@ class TargetingStacker:
     n_members: int = 1
     n_obs: int = len(OBSERVATION_NAMES)
     meta: dict = field(default_factory=dict)
+    #: optional per-feature standardization fitted on the fit region
+    #: (round-4): makes the rule robust to score/vote SCALE shift —
+    #: the round-3 stacker degraded under distribution shift partly
+    #: because raw retrieval scores re-scale with image noise.
+    feat_mean: np.ndarray | None = None  # [F]
+    feat_std: np.ndarray | None = None   # [F]
 
     @property
     def num_features(self) -> int:
-        # mean/std/max/min + M member probs + 3 vote features + one-hot
-        return 4 + self.n_members + 3 + self.n_obs
+        # mean/std/max/min + M member probs + 5 vote/disagreement
+        # features + 3 score stats + one-hot
+        return 4 + self.n_members + 5 + 3 + self.n_obs
 
     def __post_init__(self):
         self.weights = np.asarray(self.weights, np.float64)
@@ -140,26 +184,43 @@ class TargetingStacker:
                 f"stacker weights shape {self.weights.shape} does not "
                 f"match n_members={self.n_members}/n_obs={self.n_obs} "
                 f"(expected {(self.num_features + 1,)})")
+        for name in ("feat_mean", "feat_std"):
+            v = getattr(self, name)
+            if v is not None:
+                v = np.asarray(v, np.float64)
+                if v.shape != (self.num_features,):
+                    raise ValueError(
+                        f"stacker {name} shape {v.shape} != "
+                        f"({self.num_features},)")
+                setattr(self, name, v)
+
+    def _standardize(self, flat: np.ndarray) -> np.ndarray:
+        if self.feat_mean is None or self.feat_std is None:
+            return flat
+        return (flat - self.feat_mean) / np.maximum(self.feat_std, 1e-6)
 
     def keep_probs(self, stack: np.ndarray, votes10: np.ndarray,
-                   votes20: np.ndarray, swv10: np.ndarray) -> np.ndarray:
+                   votes20: np.ndarray, swv10: np.ndarray,
+                   score_stats: np.ndarray | None = None) -> np.ndarray:
         """[N, n_obs] keep probability per cell."""
         if stack.shape[0] != self.n_members:
             raise ValueError(
                 f"stacker fitted for {self.n_members} ensemble "
                 f"member(s), pipeline runs {stack.shape[0]}")
-        x = build_features(stack, votes10, votes20, swv10)
+        x = build_features(stack, votes10, votes20, swv10, score_stats)
+        flat = self._standardize(x.reshape(-1, x.shape[-1]))
         xb = np.concatenate(
-            [x.reshape(-1, x.shape[-1]),
-             np.ones((x.shape[0] * x.shape[1], 1), np.float32)], 1)
+            [flat, np.ones((flat.shape[0], 1), np.float64)], 1)
         z = xb @ self.weights
         return (1.0 / (1.0 + np.exp(-z))).reshape(x.shape[:2])
 
-    def keep_mask(self, stack, votes10, votes20, swv10) -> np.ndarray:
+    def keep_mask(self, stack, votes10, votes20, swv10,
+                  score_stats=None) -> np.ndarray:
         """[N, n_obs] bool keep decisions at this stacker's tau.
         ``No Finding`` is always kept (it is not a mention the decoder
         can hallucinate; the veto has the same exemption)."""
-        keep = self.keep_probs(stack, votes10, votes20, swv10) > self.tau
+        keep = self.keep_probs(stack, votes10, votes20, swv10,
+                               score_stats) > self.tau
         keep[:, OBSERVATION_NAMES.index("No Finding")] = True
         return keep
 
@@ -175,6 +236,9 @@ class TargetingStacker:
             "weights": [float(v) for v in self.weights],
             "meta": self.meta,
         }
+        if self.feat_mean is not None:
+            payload["feat_mean"] = [float(v) for v in self.feat_mean]
+            payload["feat_std"] = [float(v) for v in self.feat_std]
         d = os.path.dirname(os.path.abspath(path))
         os.makedirs(d, exist_ok=True)
         atomic_write_json(path, payload, indent=2)
@@ -189,11 +253,15 @@ class TargetingStacker:
                 f"{p.get('features')!r}; this build expects "
                 f"{FEATURE_SPEC!r} — refit with "
                 f"cli/fit_targeting_stacker.py")
+        fm = p.get("feat_mean")
+        fs = p.get("feat_std")
         return cls(weights=np.asarray(p["weights"], np.float64),
                    tau=float(p.get("tau", 0.5)),
                    n_members=int(p.get("n_members", 1)),
                    n_obs=int(p.get("n_obs", len(OBSERVATION_NAMES))),
-                   meta=p.get("meta", {}))
+                   meta=p.get("meta", {}),
+                   feat_mean=None if fm is None else np.asarray(fm),
+                   feat_std=None if fs is None else np.asarray(fs))
 
 
 def fit_positive_keep_stacker(stack: np.ndarray, labels: np.ndarray,
@@ -201,7 +269,8 @@ def fit_positive_keep_stacker(stack: np.ndarray, labels: np.ndarray,
                               votes10: np.ndarray, votes20: np.ndarray,
                               swv10: np.ndarray, tau: float = 0.5,
                               meta: dict | None = None,
-                              min_region_cells: int = 50
+                              min_region_cells: int = 50,
+                              score_stats: np.ndarray | None = None
                               ) -> TargetingStacker:
     """Fit the keep-rule on the POSITIVE region (mean prob > threshold,
     ``No Finding`` excluded) of a validation split: y = the cell's
@@ -225,9 +294,15 @@ def fit_positive_keep_stacker(stack: np.ndarray, labels: np.ndarray,
             f"degenerate (keep_probs ~0.5 everywhere -> drops all "
             f"positives at tau). Fit on more validation studies or "
             f"stronger experts.")
-    x = build_features(stack, votes10, votes20, swv10)
+    x = build_features(stack, votes10, votes20, swv10, score_stats)
     y = (np.asarray(labels) > 0.5)[region].astype(np.float64)
-    w = fit_logistic(x[region], y)
+    xr = x[region].astype(np.float64)
+    # standardize on the fit region; the scaler ships with the stacker
+    # so serving sees the same normalized space (scale-shift robust)
+    fm = xr.mean(0)
+    fs = np.maximum(xr.std(0), 1e-6)
+    w = fit_logistic(((xr - fm) / fs).astype(np.float32), y)
     return TargetingStacker(weights=w, tau=tau,
                             n_members=stack.shape[0],
-                            n_obs=mean.shape[1], meta=meta or {})
+                            n_obs=mean.shape[1], meta=meta or {},
+                            feat_mean=fm, feat_std=fs)

@@ -19,12 +19,17 @@ PIPE="--synthetic --tiny --synthetic_size 5120 --num_samples 128 \
 
 log() { echo "[$(date +%H:%M:%S)] $*"; }
 
+# domain-mixed fit: natural val (seed 55) + a shifted family (noise
+# 0.5, shift seed 2000 — DISJOINT from the eval shift seed 1000) so
+# the keep-rule is robust to score/vote scale shift
 log "fit ensemble stacker"
 python -m radar_tpu.cli.fit_targeting_stacker $PIPE $ENS --leakage_free \
-  --val_seed 55 --output ./checkpoints/targeting_stacker.json
+  --val_seed 55 --fit_shift 0.5:2000 \
+  --output ./checkpoints/targeting_stacker.json
 log "fit gnn-solo stacker"
 python -m radar_tpu.cli.fit_targeting_stacker $PIPE --leakage_free \
-  --val_seed 55 --output ./checkpoints/targeting_stacker_gnnsolo.json
+  --val_seed 55 --fit_shift 0.5:2000 \
+  --output ./checkpoints/targeting_stacker_gnnsolo.json
 
 ST="--targeting_stacker ./checkpoints/targeting_stacker.json"
 STS="--targeting_stacker ./checkpoints/targeting_stacker_gnnsolo.json"

@@ -1,0 +1,69 @@
+#!/usr/bin/env bash
+# Production-preset smoke (round-4, verdict item 7): exercise
+# configs/mimic_cxr.yaml END-TO-END on a synthetic raw stand-in —
+# the exact RUNBOOK_MIMIC.md flow minus PHI:
+#   raw CSV+images -> data_prep ETL -> real-file ExpertModelDataset
+#   -> expert training (SwinV2-large 192px + ClinicalBERT geometry)
+#   -> expert evaluation -> one served report through the pipeline.
+# Only runtime-size knobs are overridden (batch/epochs/samples/index
+# capacity/token budget); the MODEL config (architectures, widths,
+# depths, seq lengths) is the production preset verbatim.
+#
+# Runs on CPU (~6-10 min on the 1-core host; the persistent compile
+# cache in .cache/jax makes warm reruns much faster).
+#   bash scripts/runbook_smoke.sh [workdir]
+set -euo pipefail
+cd "$(dirname "$0")/.."
+export RADAR_PLATFORM=cpu
+WORK=${1:-/tmp/runbook_smoke}
+N=${RUNBOOK_SMOKE_RECORDS:-10}
+CFG=configs/mimic_cxr.yaml
+log() { echo "[$(date +%H:%M:%S)] runbook_smoke: $*"; }
+rm -rf "$WORK"; mkdir -p "$WORK"
+
+log "stage 0: synthetic raw stand-in ($N records, 192px on disk)"
+python -m radar_tpu.data.synthetic_raw --output "$WORK/raw" \
+  --num_records "$N" --image_size 192
+
+log "stage 1: data_prep ETL (CSV -> annotation/splits/context/obs)"
+python -m radar_tpu.cli.data_prep --csv "$WORK/raw/Cxr_df.csv" \
+  --output "$WORK/data/"
+
+DATA="--annotation_path $WORK/data/annotation.json \
+  --clinical_context_path $WORK/data/clinical_context.json \
+  --observation_path $WORK/data/observation.json \
+  --image_path $WORK/raw"
+
+log "stage 2: train baseline expert (production geometry, 1 epoch)"
+python -m radar_tpu.cli.train_expert_models --config $CFG \
+  --model_type baseline $DATA \
+  --epochs 1 --set train.batch_size=2 --set train.eval_batch_size=2 \
+  --set train.warmup_steps=2 --set mesh.data=1 \
+  --output_dir "$WORK/checkpoints"
+
+log "stage 3: evaluate the trained expert"
+python -m radar_tpu.cli.evaluate_expert_models --config $CFG \
+  --model_type baseline --checkpoint "$WORK/checkpoints/baseline" \
+  $DATA --set train.eval_batch_size=2 --set mesh.data=1 \
+  --output_path "$WORK/expert_eval.json"
+
+log "stage 4: one served report through the full pipeline"
+python -m radar_tpu.cli.evaluate_pipeline --config $CFG \
+  --model_type baseline --expert_checkpoint "$WORK/checkpoints/baseline" \
+  $DATA --num_samples 1 --passages 8 \
+  --set retrieval.capacity=16 --set rag.max_new_tokens=8 \
+  --set rag.max_iterations=2 --set decoder.max_length=256 \
+  --set mesh.data=1 \
+  --output_path "$WORK/pipeline_eval.json"
+
+python - "$WORK" <<'EOF'
+import json, sys
+w = sys.argv[1]
+e = json.load(open(f"{w}/expert_eval.json"))
+p = json.load(open(f"{w}/pipeline_eval.json"))
+assert p["num_samples"] == 1, p
+print(json.dumps({"runbook_smoke": "ok",
+                  "expert_eval_keys": sorted(e)[:6],
+                  "pipeline_p50_s": p["latency_p50_seconds"]}))
+EOF
+log "DONE"

@@ -68,7 +68,7 @@ def test_fit_learns_non_axis_aligned_boundary():
 
 
 def test_keep_mask_exempts_no_finding():
-    w = np.full(4 + 1 + 3 + N_OBS + 1, -10.0)   # drop everything
+    w = np.full(4 + 1 + 5 + 3 + N_OBS + 1, -10.0)   # drop everything
     st = TargetingStacker(weights=w, tau=0.5, n_members=1)
     stack = np.full((1, 4, N_OBS), 0.9, np.float32)
     z = np.zeros((4, N_OBS), np.float32)
@@ -112,7 +112,7 @@ def test_member_count_guard(cfg, dataset, tokenizer):
         jax.random.key(0), jnp.asarray(s["pixel_values"])[None],
         jnp.asarray(s["input_ids"])[None],
         jnp.asarray(s["attention_mask"])[None])["params"]
-    w = np.zeros(4 + 3 + 3 + N_OBS + 1)
+    w = np.zeros(4 + 3 + 5 + 3 + N_OBS + 1)
     st = TargetingStacker(weights=w, n_members=3)
     with pytest.raises(ValueError, match="fitted for 3"):
         RadarPipeline(cfg, tokenizer, expert, params, stacker=st)
@@ -166,7 +166,7 @@ def test_gate_positives_consults_stacker(cfg, dataset, tokenizer):
     loaded (all-drop stacker empties the positives; all-keep stacker
     preserves them even where the hand veto would drop), and fall back
     to the hand veto when neighbour features are missing."""
-    n_feat = 4 + 1 + 3 + N_OBS
+    n_feat = 4 + 1 + 5 + 3 + N_OBS
     drop = TargetingStacker(weights=np.full(n_feat + 1, -10.0),
                             n_members=1)
     keep = TargetingStacker(weights=np.concatenate(
@@ -259,3 +259,28 @@ def test_feature_spec_tracks_vote_constants():
     assert f"swv{SWV_TOP_M}" in FEATURE_SPEC
     for m in VOTE_TOP_MS:
         assert f"votes{m}" in FEATURE_SPEC
+
+
+def test_standardization_roundtrips_and_scale_robustness(tmp_path):
+    """The fitted feature scaler ships inside the stacker file and
+    keep decisions are invariant to it being applied at serve time
+    (fit/serve parity); loading a pre-scaler file (no feat_mean) still
+    works."""
+    rng = np.random.default_rng(3)
+    stack, labels, v10, v20, swv = _synthetic_features(rng, 128)
+    th = np.full(N_OBS, 0.33, np.float32)
+    st = fit_positive_keep_stacker(stack, labels, th, v10, v20, swv)
+    assert st.feat_mean is not None and st.feat_std is not None
+    path = str(tmp_path / "st.json")
+    st.save(path)
+    st2 = TargetingStacker.load(path)
+    np.testing.assert_allclose(st2.feat_mean, st.feat_mean)
+    np.testing.assert_array_equal(st2.keep_mask(stack, v10, v20, swv),
+                                  st.keep_mask(stack, v10, v20, swv))
+    # legacy file without a scaler loads as identity
+    payload = json.load(open(path))
+    payload.pop("feat_mean"); payload.pop("feat_std")
+    json.dump(payload, open(path, "w"))
+    st3 = TargetingStacker.load(path)
+    assert st3.feat_mean is None
+    st3.keep_mask(stack, v10, v20, swv)  # still functional
