@@ -25,7 +25,7 @@ import time
 import numpy as np
 
 from ..core.logging import get_logger
-from ..serving.server import RadarServer, ServerConfig
+from ..serving.server import QueueFull, RadarServer, ServerConfig
 from .common import (add_common_args, add_data_args, build_datasets,
                      load_config, make_tokenizer)
 from .evaluate_pipeline import build_pipeline_from_args
@@ -49,12 +49,20 @@ def build_parser():
     parser.add_argument("--retrieval_checkpoint", type=str,
                         default="./checkpoints/retrieval_system")
     parser.add_argument("--passages", type=int, default=1024)
-    parser.add_argument("--serve_batch", type=int, default=16,
-                        help="server max_batch_size (largest bucket)")
+    parser.add_argument("--serve_batch", type=int, default=64,
+                        help="server max_batch_size (largest bucket); "
+                             "64 matches the fused-dispatch sweet spot "
+                             "measured by bench_serving (65.3 rps "
+                             "sync at b64)")
     parser.add_argument("--max_wait_ms", type=float, default=30.0)
-    parser.add_argument("--offered_load", type=str, default="2,8,32",
+    parser.add_argument("--offered_load", type=str, default="8,32,48,64",
                         help="comma-separated requests/sec sweep")
     parser.add_argument("--requests_per_load", type=int, default=64)
+    parser.add_argument("--max_queue", type=int, default=0,
+                        help="admission control: bound the server queue"
+                             " — overload is shed (reported as "
+                             "shed_fraction) instead of exploding p95. "
+                             "0 = unbounded (round-3 behaviour)")
     parser.add_argument("--grounding", action="store_true")
     parser.add_argument("--serving_dp", type=int, default=0,
                         help="N > 1: data-parallel serving over N "
@@ -91,6 +99,7 @@ def main(argv=None):
     server = RadarServer(pipe, ServerConfig(
         max_batch_size=args.serve_batch,
         max_wait_ms=args.max_wait_ms,
+        max_queue=args.max_queue,
         batch_multiple=max(args.serving_dp, 1)))
     try:
         # warmup: compile EVERY bucket — Poisson arrivals hit
@@ -106,11 +115,17 @@ def main(argv=None):
                 f.result()
         for load in loads:
             futs = []
+            shed = 0
             t_start = time.perf_counter()
             for i in range(args.requests_per_load):
-                futs.append(server.submit(
-                    *studies[i % n_pool],
-                    verify_grounding=args.grounding))
+                try:
+                    futs.append(server.submit(
+                        *studies[i % n_pool],
+                        verify_grounding=args.grounding))
+                except QueueFull:
+                    # admission control: overload is shed at the door
+                    # so admitted requests keep a bounded latency
+                    shed += 1
                 time.sleep(float(rng.exponential(1.0 / load)))
             results = [f.result() for f in futs]
             span = time.perf_counter() - t_start
@@ -123,16 +138,18 @@ def main(argv=None):
             rows.append({
                 "offered_load_rps": load,
                 "achieved_rps": len(results) / span,
+                "shed_fraction": shed / max(args.requests_per_load, 1),
                 "latency_p50_s": float(np.percentile(lat, 50)),
                 "latency_p95_s": float(np.percentile(lat, 95)),
                 "queue_wait_p50_s": float(np.percentile(waits, 50)),
                 "mean_batch_size": float(sizes.mean()),
             })
             logger.info("load %.1f rps: p50 %.3fs p95 %.3fs "
-                        "mean batch %.1f", load,
+                        "mean batch %.1f shed %.0f%%", load,
                         rows[-1]["latency_p50_s"],
                         rows[-1]["latency_p95_s"],
-                        rows[-1]["mean_batch_size"])
+                        rows[-1]["mean_batch_size"],
+                        100 * rows[-1]["shed_fraction"])
     finally:
         server.shutdown()
 
@@ -141,6 +158,7 @@ def main(argv=None):
         "serve_batch": args.serve_batch,
         "max_wait_ms": args.max_wait_ms,
         "grounding": bool(args.grounding),
+        "max_queue": args.max_queue,
         "requests_per_load": args.requests_per_load,
         "server_stats": server.stats(),
         "loads": rows,

@@ -366,3 +366,23 @@ def test_backpressure_queue_full(pipeline, dataset):
     server.shutdown()
     assert stats["requests_rejected"] == rejected
     assert stats["requests_served"] == len(futs)
+
+
+def test_bench_admission_control_sheds(tmp_path):
+    """With a bounded queue, overload is shed at submit (QueueFull) and
+    reported as shed_fraction; admitted requests all complete (round-4
+    verdict item 6: overload must degrade throughput, not explode
+    p95)."""
+    from radar_tpu.cli.bench_async_serving import main
+    r = main(["--synthetic", "--tiny", "--synthetic_size", "32",
+              "--serve_batch", "2", "--offered_load", "500",
+              "--requests_per_load", "32", "--max_wait_ms", "0",
+              "--max_queue", "2",
+              "--retrieval_checkpoint", str(tmp_path / "none"),
+              "--output", str(tmp_path / "async.json")])
+    row = r["loads"][0]
+    assert r["max_queue"] == 2
+    assert 0.0 <= row["shed_fraction"] < 1.0
+    # every admitted request completed
+    admitted = round((1 - row["shed_fraction"]) * 32)
+    assert r["server_stats"]["requests_served"] >= admitted
