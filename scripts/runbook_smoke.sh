@@ -16,7 +16,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 export RADAR_PLATFORM=cpu
 WORK=${1:-/tmp/runbook_smoke}
-N=${RUNBOOK_SMOKE_RECORDS:-10}
+N=${RUNBOOK_SMOKE_RECORDS:-20}
+T0=$(date +%s)
 CFG=configs/mimic_cxr.yaml
 log() { echo "[$(date +%H:%M:%S)] runbook_smoke: $*"; }
 rm -rf "$WORK"; mkdir -p "$WORK"
@@ -56,14 +57,26 @@ python -m radar_tpu.cli.evaluate_pipeline --config $CFG \
   --set mesh.data=1 \
   --output_path "$WORK/pipeline_eval.json"
 
-python - "$WORK" <<'EOF'
-import json, sys
+ARTIFACT=${RUNBOOK_SMOKE_ARTIFACT:-results/runbook_smoke.json} \
+  SMOKE_T0=$T0 python - "$WORK" <<'EOF'
+import json, os, sys, time
+sys.path.insert(0, os.getcwd())
+from radar_tpu.utils.io import atomic_write_json
 w = sys.argv[1]
 e = json.load(open(f"{w}/expert_eval.json"))
 p = json.load(open(f"{w}/pipeline_eval.json"))
 assert p["num_samples"] == 1, p
-print(json.dumps({"runbook_smoke": "ok",
-                  "expert_eval_keys": sorted(e)[:6],
-                  "pipeline_p50_s": p["latency_p50_seconds"]}))
+payload = {
+    "runbook_smoke": "ok",
+    "config": "configs/mimic_cxr.yaml",
+    "records": int(os.environ.get("RUNBOOK_SMOKE_RECORDS", 10)),
+    "wall_seconds": round(time.time() - float(os.environ["SMOKE_T0"]), 1),
+    "pipeline_p50_s": p["latency_p50_seconds"],
+    "expert_eval_keys": sorted(e)[:6],
+    "stages": ["synthetic_raw", "data_prep", "train_expert",
+               "evaluate_expert", "serve_one_report"],
+}
+atomic_write_json(os.environ["ARTIFACT"], payload, indent=2)
+print(json.dumps(payload))
 EOF
 log "DONE"

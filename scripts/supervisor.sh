@@ -164,6 +164,24 @@ else
   log "stage stackers: present; skip"
 fi
 
+# -- production-config smoke (CPU; verdict item 7 — the preset every
+#    real deployment would use is EXECUTED after every wipe, evidence
+#    in results/runbook_smoke.json)
+if [ -f "$STAMPS/runbook_smoke.done" ] && \
+   [ -f results/runbook_smoke.json ]; then
+  log "stage runbook_smoke: complete; skip"
+else
+  log "stage runbook_smoke: running (CPU, ~20 min)"
+  if env -u XLA_FLAGS -u JAX_PLATFORMS bash scripts/runbook_smoke.sh \
+       > /tmp/sup_runbook.log 2>&1; then
+    touch "$STAMPS/runbook_smoke.done"
+    log "stage runbook_smoke: done"
+  else
+    log "stage runbook_smoke: FAILED (see /tmp/sup_runbook.log)"
+    rc=1
+  fi
+fi
+
 if [ "$rc" = 0 ]; then
   log "ALL STAGES COMPLETE"
 else
