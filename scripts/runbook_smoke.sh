@@ -20,37 +20,52 @@ N=${RUNBOOK_SMOKE_RECORDS:-20}
 T0=$(date +%s)
 CFG=configs/mimic_cxr.yaml
 log() { echo "[$(date +%H:%M:%S)] runbook_smoke: $*"; }
-rm -rf "$WORK"; mkdir -p "$WORK"
+# resumable: completed stages are skipped when re-run with the same
+# workdir (a full cold run is ~20 min on the 1-core host)
+mkdir -p "$WORK"
 
-log "stage 0: synthetic raw stand-in ($N records, 192px on disk)"
-python -m radar_tpu.data.synthetic_raw --output "$WORK/raw" \
-  --num_records "$N" --image_size 192
+if [ -f "$WORK/data/annotation.json" ]; then
+  log "stages 0-1: ETL outputs present; skip"
+else
+  log "stage 0: synthetic raw stand-in ($N records, 192px on disk)"
+  python -m radar_tpu.data.synthetic_raw --output "$WORK/raw" \
+    --num_records "$N" --image_size 192
 
-log "stage 1: data_prep ETL (CSV -> annotation/splits/context/obs)"
-python -m radar_tpu.cli.data_prep --csv "$WORK/raw/Cxr_df.csv" \
-  --output "$WORK/data/"
+  log "stage 1: data_prep ETL (CSV -> annotation/splits/context/obs)"
+  python -m radar_tpu.cli.data_prep --csv "$WORK/raw/Cxr_df.csv" \
+    --output "$WORK/data/"
+fi
 
 DATA="--annotation_path $WORK/data/annotation.json \
   --clinical_context_path $WORK/data/clinical_context.json \
   --observation_path $WORK/data/observation.json \
   --image_path $WORK/raw"
 
-log "stage 2: train baseline expert (production geometry, 1 epoch)"
-python -m radar_tpu.cli.train_expert_models --config $CFG \
-  --model_type baseline $DATA \
-  --epochs 1 --set train.batch_size=2 --set train.eval_batch_size=2 \
-  --set train.warmup_steps=2 --set mesh.data=1 \
-  --output_dir "$WORK/checkpoints"
+if [ -f "$WORK/checkpoints/baseline/best.json" ]; then
+  log "stage 2: trained checkpoint present; skip"
+else
+  log "stage 2: train baseline expert (production geometry, 1 epoch)"
+  python -m radar_tpu.cli.train_expert_models --config $CFG \
+    --model_type baseline $DATA \
+    --epochs 1 --set train.batch_size=2 --set train.eval_batch_size=2 \
+    --set train.warmup_steps=2 --set mesh.data=1 \
+    --output_dir "$WORK/checkpoints"
+fi
 
-log "stage 3: evaluate the trained expert"
-python -m radar_tpu.cli.evaluate_expert_models --config $CFG \
-  --model_type baseline --checkpoint "$WORK/checkpoints/baseline" \
-  $DATA --set train.eval_batch_size=2 --set mesh.data=1 \
-  --output_path "$WORK/expert_eval.json"
+if [ -f "$WORK/expert_eval.json" ]; then
+  log "stage 3: expert eval present; skip"
+else
+  log "stage 3: evaluate the trained expert"
+  python -m radar_tpu.cli.evaluate_expert_models --config $CFG \
+    --model_type baseline --checkpoint "$WORK/checkpoints/baseline" \
+    $DATA --set train.eval_batch_size=2 --set mesh.data=1 \
+    --output_path "$WORK/expert_eval.json"
+fi
 
 log "stage 4: one served report through the full pipeline"
 python -m radar_tpu.cli.evaluate_pipeline --config $CFG \
   --model_type baseline --expert_checkpoint "$WORK/checkpoints/baseline" \
+  --retrieval_checkpoint "$WORK/no_retrieval_ckpt" \
   $DATA --num_samples 1 --passages 8 \
   --set retrieval.capacity=16 --set rag.max_new_tokens=8 \
   --set rag.max_iterations=2 --set decoder.max_length=256 \
@@ -58,7 +73,7 @@ python -m radar_tpu.cli.evaluate_pipeline --config $CFG \
   --output_path "$WORK/pipeline_eval.json"
 
 ARTIFACT=${RUNBOOK_SMOKE_ARTIFACT:-results/runbook_smoke.json} \
-  SMOKE_T0=$T0 python - "$WORK" <<'EOF'
+  RUNBOOK_SMOKE_RECORDS=$N SMOKE_T0=$T0 python - "$WORK" <<'EOF'
 import json, os, sys, time
 sys.path.insert(0, os.getcwd())
 from radar_tpu.utils.io import atomic_write_json
