@@ -31,6 +31,16 @@
 # contrastive 36+4) — the full-scale preset the north star is about.
 set -uo pipefail
 cd "$(dirname "$0")/.."
+
+# Re-exec from a snapshot copy: bash reads scripts lazily by byte
+# offset, so editing a long-running script in place can make the
+# running instance execute garbage.  The snapshot makes the repo file
+# safely editable while a supervisor runs.
+if [ "${SUPERVISOR_SNAPSHOT:-}" != 1 ]; then
+  cp scripts/supervisor.sh /tmp/radar_supervisor_running.sh
+  SUPERVISOR_SNAPSHOT=1 exec bash /tmp/radar_supervisor_running.sh "$@"
+fi
+
 R=scripts/tpu_retry.sh
 STAMPS=checkpoints/.stamps
 LOCK=/tmp/radar_supervisor.pid
@@ -122,20 +132,22 @@ stage tiny_temporal "results/temporal_evaluation.json" \
   --synthetic_size 4096 --epochs 16 --eval_natural_rates \
   --output_path results/temporal_evaluation.json || rc=1
 
-# -- quality experts at the FULL round-3k budget (resume-extends any
-#    shorter-budget checkpoints in place)
+# -- quality experts (budgets sized to the measured ~3 min/epoch on
+#    the relay so a full session completes the chain; per-epoch resume
+#    means a later session can extend any of these in place by raising
+#    the numbers)
 stage quality_uncertainty "$QOUT/uncertainty/best.json" \
   /tmp/sup_q_unc.log 1200 6 -- \
   python -m radar_tpu.cli.train_expert_models --model_type uncertainty \
-  $QTRAIN --epochs 48 --resume --output_dir $QOUT || rc=1
+  $QTRAIN --epochs 40 --resume --output_dir $QOUT || rc=1
 stage quality_gnn "$QOUT/gnn/best.json" \
   /tmp/sup_q_gnn.log 1200 6 -- \
   python -m radar_tpu.cli.train_expert_models --model_type gnn \
-  $QTRAIN --epochs 36 --resume --output_dir $QOUT || rc=1
+  $QTRAIN --epochs 16 --resume --output_dir $QOUT || rc=1
 stage quality_contrastive "$QOUT/contrastive/best.json" \
   /tmp/sup_q_con.log 1200 6 -- \
   python -m radar_tpu.cli.train_expert_models --model_type contrastive \
-  $QTRAIN --epochs 36 --pretrain --pretrain_epochs 4 --resume \
+  $QTRAIN --epochs 16 --pretrain --pretrain_epochs 4 --resume \
   --output_dir $QOUT || rc=1
 
 # -- quality retrieval system
