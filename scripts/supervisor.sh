@@ -30,16 +30,20 @@
 # Quality budget = the round-3k target (uncertainty 48, gnn 36,
 # contrastive 36+4) — the full-scale preset the north star is about.
 set -uo pipefail
-cd "$(dirname "$0")/.."
 
 # Re-exec from a snapshot copy: bash reads scripts lazily by byte
 # offset, so editing a long-running script in place can make the
 # running instance execute garbage.  The snapshot makes the repo file
-# safely editable while a supervisor runs.
+# safely editable while a supervisor runs.  REPO is pinned BEFORE the
+# re-exec (the snapshot lives in /tmp, so $0-relative paths would
+# break).
 if [ "${SUPERVISOR_SNAPSHOT:-}" != 1 ]; then
-  cp scripts/supervisor.sh /tmp/radar_supervisor_running.sh
-  SUPERVISOR_SNAPSHOT=1 exec bash /tmp/radar_supervisor_running.sh "$@"
+  REPO=$(cd "$(dirname "$0")/.." && pwd)
+  cp "$REPO/scripts/supervisor.sh" /tmp/radar_supervisor_running.sh
+  SUPERVISOR_SNAPSHOT=1 RADAR_REPO=$REPO \
+    exec bash /tmp/radar_supervisor_running.sh "$@"
 fi
+cd "$RADAR_REPO"
 
 R=scripts/tpu_retry.sh
 STAMPS=checkpoints/.stamps
