@@ -69,17 +69,20 @@ done
 
 # ---------------------------------------------------------- relay gate
 probe() {
-  timeout 150 python - <<'EOF' >/dev/null 2>&1
+  # 300 s: a degraded-but-alive relay compiles a fresh trivial program
+  # in ~2.5 min (measured 2026-08-20); a tighter timeout misreads slow
+  # as wedged and wastes the night sleeping.
+  timeout 300 python - <<'EOF' >/dev/null 2>&1
 import time, jax.numpy as jnp
 x = jnp.ones((256, 256)) * (1.0 + (time.time() % 97) * 1e-6)
 float((x @ x).sum())
 EOF
 }
 wait_relay() {
-  for attempt in $(seq 1 60); do
+  for attempt in $(seq 1 90); do
     if probe; then return 0; fi
-    log "relay stalled (probe $attempt); sleeping 8 min"
-    sleep 480
+    log "relay stalled (probe $attempt); sleeping 4 min"
+    sleep 240
   done
   log "relay never recovered"; return 1
 }
