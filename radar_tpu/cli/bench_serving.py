@@ -63,7 +63,7 @@ def build_parser():
     return parser
 
 
-def main(argv=None):
+def _main(argv=None):
     args = build_parser().parse_args(argv)
     cfg = load_config(args)
     tokenizer = make_tokenizer(args, cfg)
@@ -116,6 +116,14 @@ def main(argv=None):
     logger.info("%.1f reports/sec (b%d)", result["reports_per_sec"], b)
     print(json.dumps(result, indent=2))
     return result
+
+
+def main(argv=None):
+    # bench-window flag: cooperative workers (supervisor chains) park
+    # for the duration so the measurement sees a quiet relay
+    from ..utils.contention import bench_window
+    with bench_window():
+        return _main(argv)
 
 
 if __name__ == "__main__":

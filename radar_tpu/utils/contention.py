@@ -40,6 +40,45 @@ def bench_active(flag: str = BENCH_FLAG, fresh_s: float = FRESH_S) -> bool:
     return (time.time() - st.st_mtime) < fresh_s
 
 
+class bench_window:
+    """Context manager for benchmark CLIs: holds the bench flag fresh
+    (a background thread re-touches it every 60 s) so cooperative
+    workers stay parked for the whole measurement, however long it
+    runs.  Used by bench_serving / bench_async_serving; bench.py
+    manages the flag itself (it refreshes per ladder rung)."""
+
+    def __init__(self, flag: str = BENCH_FLAG):
+        self.flag = flag
+        self._stop = None
+
+    def __enter__(self):
+        import threading
+        stop = threading.Event()
+        self._stop = stop
+
+        def keep_fresh():
+            while not stop.wait(60.0):
+                try:
+                    os.utime(self.flag)
+                except OSError:
+                    break
+
+        with open(self.flag, "w") as f:
+            f.write(str(os.getpid()))
+        t = threading.Thread(target=keep_fresh, daemon=True,
+                             name="bench-flag")
+        t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        try:
+            os.remove(self.flag)
+        except OSError:
+            pass
+        return False
+
+
 def maybe_yield(flag: str = BENCH_FLAG, fresh_s: float = FRESH_S,
                 poll_s: float = 5.0) -> float:
     """Park (sleep) while a bench flag is fresh; return seconds waited.
