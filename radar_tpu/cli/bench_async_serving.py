@@ -63,6 +63,13 @@ def build_parser():
                              " — overload is shed (reported as "
                              "shed_fraction) instead of exploding p95. "
                              "0 = unbounded (round-3 behaviour)")
+    parser.add_argument("--wire_dtype", choices=["float32", "uint8"],
+                        default="uint8",
+                        help="image format submitted to the server: "
+                             "uint8 raw pixels (production wire format"
+                             " — 1/4 the relay upload, on-device fused"
+                             " preprocessing) or pre-normalized "
+                             "float32 (round-3 behaviour)")
     parser.add_argument("--grounding", action="store_true")
     parser.add_argument("--serving_dp", type=int, default=0,
                         help="N > 1: data-parallel serving over N "
@@ -87,8 +94,15 @@ def _main(argv=None):
     for i in range(n_pool):
         s = test_ds[i]
         meta = test_ds.sample_meta(i)
-        studies.append((_normalized_image(s, cfg),
-                        meta["clinical_context"]))
+        img = _normalized_image(s, cfg)
+        if args.wire_dtype == "uint8":
+            # reconstruct the raw pixels the normalized float was
+            # derived from — what a production client would POST
+            from ..data.dataset import IMAGE_MEAN, IMAGE_STD
+            img = np.clip((img * np.asarray(IMAGE_STD, np.float32)
+                           + np.asarray(IMAGE_MEAN, np.float32))
+                          * 255.0, 0, 255).astype(np.uint8)
+        studies.append((img, meta["clinical_context"]))
 
     loads = [float(x) for x in args.offered_load.split(",") if x]
     if not loads or any(x <= 0 for x in loads):
@@ -158,6 +172,7 @@ def _main(argv=None):
         "serve_batch": args.serve_batch,
         "max_wait_ms": args.max_wait_ms,
         "grounding": bool(args.grounding),
+        "wire_dtype": args.wire_dtype,
         "max_queue": args.max_queue,
         "requests_per_load": args.requests_per_load,
         "server_stats": server.stats(),

@@ -213,6 +213,20 @@ class RadarPipeline:
             return jax.device_put(x, self._batch_sharding)
         return jnp.asarray(x)
 
+    def _preprocess_batch(self, images) -> jax.Array:
+        """Device-resident normalized image batch from either wire
+        format: uint8 [B, H, W, 3] (the production format — 1/4 the
+        relay upload bytes) runs the fused on-device resize+scale+
+        normalize program (``data/dataset.preprocess_images``);
+        float32 input is assumed already normalized and is uploaded
+        as-is."""
+        x = np.stack([np.asarray(im) for im in images])
+        if x.dtype == np.uint8:
+            from ..data.dataset import preprocess_images
+            return preprocess_images(self._put_batch(x),
+                                     self.config.vision.image_size)
+        return self._put_batch(x.astype(np.float32, copy=False))
+
     def _member_params(self) -> tuple:
         """(lead expert params, *ensemble member params) — the
         argument tuple of the fused ``_ensemble_fwd`` program."""
@@ -793,6 +807,16 @@ class RadarPipeline:
         refs = reference_texts or [None] * n
         cfg = self.config.rag
 
+        # One upload, normalize on device: uint8 batches (the
+        # production wire format — HTTP front door, MIMIC JPGs) go up
+        # the relay at 1/4 the bytes of normalized float32 and run the
+        # fused resize+scale+normalize program on device
+        # (data/dataset.preprocess_images — the north-star "decode/
+        # resize/normalize fuses into a jitted preprocessing stage").
+        # Measured round-4: the async serving front door is image-
+        # upload-bound at b64 (38 MB float32 vs 9.6 MB uint8).
+        imgs_dev = self._preprocess_batch(images)
+
         temporal_stmts: list[str | None] = [None] * n
         progression = None
         if prior_images is not None:
@@ -806,9 +830,8 @@ class RadarPipeline:
             from ..models.temporal import comparison_statements
             logits = np.asarray(self._temporal_fwd(
                 self.temporal_params,
-                self._put_batch(np.stack(images).astype(np.float32)),
-                self._put_batch(
-                    np.stack(prior_images).astype(np.float32))))
+                imgs_dev,
+                self._preprocess_batch(prior_images)))
             progression = np.argmax(logits, -1)          # [B, 14]
             temporal_stmts = [comparison_statements(progression[i])
                               for i in range(n)]
@@ -818,11 +841,13 @@ class RadarPipeline:
 
         image_embeddings = None
         if self.dpr is not None:
-            # the embedder runs on its own (single-device) placement;
-            # re-commit its output with the batch sharding so the
-            # decoder prefix rides the same SPMD program as the ids
+            # embed straight from the device-resident batch (no second
+            # host->device staging); re-commit the output with the
+            # batch sharding so the decoder prefix rides the same SPMD
+            # program as the ids
             image_embeddings = self._put_batch(
-                np.asarray(self.dpr.embedder.embed_images(list(images))))
+                np.asarray(self.dpr.embedder.embed_images_device(
+                    imgs_dev)))
 
         # stage 2 (batched): calibrated expert observations, with the
         # cross-modal image-neighbour veto on positives (round-3)
@@ -850,7 +875,7 @@ class RadarPipeline:
             ids, mask = self.tokenizer.encode_batch(
                 clinical_contexts, self.config.text.max_length)
             probs, prob_stack = self._expert_prob_stack(
-                self._put_batch(np.stack(images)), self._put_batch(ids),
+                imgs_dev, self._put_batch(ids),
                 self._put_batch(mask))
             th = np.broadcast_to(
                 np.asarray(self._thresholds(), np.float32),

@@ -147,3 +147,10 @@ class JittedEmbedder:
             chunk = jnp.asarray(np.stack(images[start:start + batch_size]))
             outs.append(np.asarray(self._encode_image(self.params, chunk)))
         return np.concatenate(outs, axis=0)
+
+    def embed_images_device(self, images):
+        """Embed an already-device-resident [B, H, W, 3] batch in one
+        program — no host staging or chunking.  Used by the batched
+        serving path, where the image batch is uploaded once (as
+        uint8) and preprocessed on device."""
+        return self._encode_image(self.params, images)

@@ -43,9 +43,14 @@ _MAX_BODY = 256 * 1024 * 1024
 
 
 def _decode_image(spec) -> np.ndarray:
-    """JSON image spec → float32 array.  ``b64`` + ``shape`` is the
-    compact wire format (4 B/pixel); ``data`` nested lists are the
-    debuggable one."""
+    """JSON image spec → image array.
+
+    ``b64`` + ``shape`` is the compact wire format.  ``dtype`` selects
+    it: ``"uint8"`` is raw pixels (1 B/pixel — the production format;
+    the pipeline resizes+normalizes ON DEVICE via its fused
+    preprocessing program, and the relay upload is 1/4 the bytes of
+    float32), ``"float32"`` (default) is pre-normalized model input.
+    ``data`` nested lists are the debuggable fallback."""
     if not isinstance(spec, dict):
         raise ValueError("image must be an object with b64+shape or data")
     if "b64" in spec:
@@ -53,11 +58,17 @@ def _decode_image(spec) -> np.ndarray:
         if not (isinstance(shape, list) and
                 all(isinstance(d, int) and d > 0 for d in shape)):
             raise ValueError("image.shape must be a list of positive ints")
-        buf = np.frombuffer(base64.b64decode(spec["b64"]), dtype="<f4")
+        dtype = spec.get("dtype", "float32")
+        if dtype not in ("float32", "uint8"):
+            raise ValueError(f"image.dtype must be float32 or uint8, "
+                             f"got {dtype!r}")
+        wire = np.uint8 if dtype == "uint8" else np.dtype("<f4")
+        buf = np.frombuffer(base64.b64decode(spec["b64"]), dtype=wire)
         if buf.size != int(np.prod(shape)):
-            raise ValueError(f"image payload has {buf.size} floats, "
+            raise ValueError(f"image payload has {buf.size} elements, "
                              f"shape {shape} needs {int(np.prod(shape))}")
-        return buf.reshape(shape).astype(np.float32)
+        arr = buf.reshape(shape)
+        return arr if dtype == "uint8" else arr.astype(np.float32)
     if "data" in spec:
         return np.asarray(spec["data"], np.float32)
     raise ValueError("image needs either b64+shape or data")

@@ -108,8 +108,12 @@ class _Request:
         self.t_submit = time.perf_counter()
 
     def options_key(self) -> tuple:
-        # batches must be homogeneous in the XLA programs they trigger
-        return (self.verify_grounding, self.prior_image is not None)
+        # batches must be homogeneous in the XLA programs they trigger;
+        # wire dtype too — a batch mixing uint8 (device-preprocessed)
+        # and float32 (pre-normalized) images would promote the stack
+        # to float32 and feed 0-255 values as normalized input
+        return (self.verify_grounding, self.prior_image is not None,
+                np.asarray(self.image).dtype == np.uint8)
 
 
 class RadarServer:

@@ -386,3 +386,45 @@ def test_bench_admission_control_sheds(tmp_path):
     # every admitted request completed
     admitted = round((1 - row["shed_fraction"]) * 32)
     assert r["server_stats"]["requests_served"] >= admitted
+
+
+def test_wire_dtype_never_shares_a_batch():
+    from radar_tpu.serving.server import _Request
+    img8 = np.zeros((8, 8, 3), np.uint8)
+    imgf = np.zeros((8, 8, 3), np.float32)
+    a = _Request(img8, "c", None, None, False)
+    b = _Request(imgf, "c", None, None, False)
+    assert a.options_key() != b.options_key()
+
+
+def test_http_uint8_image_decode():
+    import base64
+    from radar_tpu.serving.http import _decode_image
+    raw = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    spec = {"b64": base64.b64encode(raw.tobytes()).decode(),
+            "shape": [2, 2, 3], "dtype": "uint8"}
+    out = _decode_image(spec)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, raw)
+    import pytest
+    with pytest.raises(ValueError, match="dtype"):
+        _decode_image({"b64": "AA==", "shape": [1], "dtype": "int64"})
+
+
+def test_uint8_wire_matches_host_normalization(pipeline):
+    """uint8 upload + on-device fused preprocessing must reproduce the
+    host normalization path to within u8 quantization error — the wire
+    format cannot change model inputs."""
+    import jax.numpy as jnp
+    from radar_tpu.data.dataset import IMAGE_MEAN, IMAGE_STD
+    rng = np.random.default_rng(0)
+    size = pipeline.config.vision.image_size
+    raw = rng.integers(0, 256, (3, size, size, 3)).astype(np.uint8)
+    host = ((raw.astype(np.float32) / 255.0
+             - np.asarray(IMAGE_MEAN, np.float32))
+            / np.asarray(IMAGE_STD, np.float32))
+    dev = np.asarray(pipeline._preprocess_batch(list(raw)))
+    np.testing.assert_allclose(dev, host, atol=1e-5)
+    # float32 input passes through untouched
+    passthru = np.asarray(pipeline._preprocess_batch(list(host)))
+    np.testing.assert_allclose(passthru, host, atol=1e-6)
