@@ -49,6 +49,12 @@ def build_parser():
     parser.add_argument("--passages", type=int, default=1024)
     parser.add_argument("--serve_batch", type=int, default=16)
     parser.add_argument("--num_batches", type=int, default=4)
+    parser.add_argument("--wire_dtype", choices=["float32", "uint8"],
+                        default="uint8",
+                        help="image format handed to the pipeline: "
+                             "uint8 raw pixels (production wire — "
+                             "on-device fused preprocessing, 1/4 the "
+                             "relay upload) or pre-normalized float32")
     parser.add_argument("--grounding", action="store_true")
     parser.add_argument("--context_parallel", type=int, default=0,
                         help="N > 1: ring-attention decoder prefills "
@@ -79,8 +85,15 @@ def _main(argv=None):
     for i in range(need):
         s = test_ds[i]
         meta = test_ds.sample_meta(i)
-        studies.append((_normalized_image(s, cfg),
-                        meta["clinical_context"]))
+        img = _normalized_image(s, cfg)
+        if args.wire_dtype == "uint8":
+            # raw pixels on the wire; the pipeline preprocesses on
+            # device (1/4 the relay upload per batch)
+            from ..data.dataset import IMAGE_MEAN, IMAGE_STD
+            img = np.clip((img * np.asarray(IMAGE_STD, np.float32)
+                           + np.asarray(IMAGE_MEAN, np.float32))
+                          * 255.0, 0, 255).astype(np.uint8)
+        studies.append((img, meta["clinical_context"]))
 
     def run(batch):
         imgs = [s[0] for s in batch]
@@ -101,6 +114,7 @@ def _main(argv=None):
         "backend": __import__("jax").default_backend(),
         "batch_size": b, "num_batches": args.num_batches,
         "grounding": bool(args.grounding),
+        "wire_dtype": args.wire_dtype,
         "reports_per_sec": b / float(lat.mean()),
         # the relay exhibits multi-second stalls on some dispatches
         # (CLAUDE.md); with few batches one stall wrecks the mean, so
