@@ -428,3 +428,26 @@ def test_uint8_wire_matches_host_normalization(pipeline):
     # float32 input passes through untouched
     passthru = np.asarray(pipeline._preprocess_batch(list(host)))
     np.testing.assert_allclose(passthru, host, atol=1e-6)
+
+
+def test_uint8_requests_end_to_end(pipeline, dataset):
+    """uint8-wire requests batch through the server and produce
+    reports; mixed-dtype submissions are served in separate batches
+    (never mis-normalized together)."""
+    from radar_tpu.data.dataset import IMAGE_MEAN, IMAGE_STD
+    images, contexts = _studies(dataset, 4)
+    raws = [np.clip((np.asarray(im, np.float32)
+                     * np.asarray(IMAGE_STD, np.float32)
+                     + np.asarray(IMAGE_MEAN, np.float32)) * 255.0,
+                    0, 255).astype(np.uint8) for im in images]
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=4, max_wait_ms=200.0))
+    futs = [server.submit(raw, ctx)
+            for raw, ctx in zip(raws[:2], contexts[:2])]
+    futs += [server.submit(img, ctx)
+             for img, ctx in zip(images[2:], contexts[2:])]
+    results = [f.result(timeout=300) for f in futs]
+    server.shutdown()
+    assert all(r["report"] for r in results)
+    # u8 and f32 submissions must not have shared a batch
+    assert all(r["serving"]["batch_size"] == 2 for r in results)
