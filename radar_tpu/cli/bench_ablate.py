@@ -112,6 +112,9 @@ def main(argv=None):
     # analytic counts below always use the unpadded sequence.
     parser.add_argument("--seq_pad_to", type=int, default=0)
     parser.add_argument("--vision_heads", type=int, default=None)
+    parser.add_argument("--fused_qkv", action="store_true",
+                        help="one E->3E QKV GEMM per self-attention "
+                             "(round-5 MFU lever) in BOTH towers")
     args = parser.parse_args(argv)
 
     import dataclasses
@@ -128,6 +131,10 @@ def main(argv=None):
         vkw["seq_pad_to"] = args.seq_pad_to
     if args.vision_heads:
         vkw["num_heads"] = args.vision_heads
+    if args.fused_qkv:
+        vkw["fused_qkv"] = True
+        cfg = dataclasses.replace(
+            cfg, text=dataclasses.replace(cfg.text, fused_qkv=True))
     if vkw:
         cfg = dataclasses.replace(
             cfg, vision=dataclasses.replace(cfg.vision, **vkw))
@@ -242,6 +249,8 @@ def main(argv=None):
         variant += f" seq_pad_to={args.seq_pad_to}"
     if args.vision_heads:
         variant += f" heads={args.vision_heads}"
+    if args.fused_qkv:
+        variant += " fused_qkv"
     result = {"peak_tflops": PEAK_TFLOPS,
               "backend": jax.default_backend(),
               "config": ("quality (ViT-B/16 + 6-layer text)"

@@ -116,17 +116,15 @@ def _main(argv=None):
         max_queue=args.max_queue,
         batch_multiple=max(args.serving_dp, 1)))
     try:
-        # warmup: compile EVERY bucket — Poisson arrivals hit
-        # intermediate buckets too, and a first-use compile mid-sweep
-        # (20-40 s through the relay) poisons that load's latency
-        # distribution and backs the queue up for the rest of it
-        for b in sorted(server.config.resolved_buckets(),
-                        reverse=True):
-            futs = [server.submit(*studies[i % n_pool],
-                                  verify_grounding=args.grounding)
-                    for i in range(b)]
-            for f in futs:
-                f.result()
+        # warmup: compile EVERY bucket (Poisson arrivals hit
+        # intermediate buckets too) and prime the relay replay cache
+        # with a second pass; then zero the stats so the aggregate
+        # server_stats reflect measured traffic only — round 4's
+        # aggregate p95 of 71 s was 127 warmup rows carrying 20-40 s
+        # compiles through the same deque as real requests
+        warmup_s = server.warmup(*studies[0],
+                                 verify_grounding=args.grounding)
+        server.reset_stats()
         for load in loads:
             futs = []
             shed = 0
@@ -175,6 +173,7 @@ def _main(argv=None):
         "wire_dtype": args.wire_dtype,
         "max_queue": args.max_queue,
         "requests_per_load": args.requests_per_load,
+        "warmup_seconds": warmup_s,
         "server_stats": server.stats(),
         "loads": rows,
         "measured": True,

@@ -62,6 +62,14 @@ def build_parser():
     parser.add_argument("--tau", type=float, default=0.5,
                         help="Keep-probability decision threshold "
                              "baked into the saved stacker")
+    parser.add_argument("--fit_tau", action="store_true",
+                        help="sweep tau on the fit split instead of "
+                             "using --tau: maximizes the WORST "
+                             "per-domain (natural vs each --fit_shift "
+                             "family) expected-set micro-F1 subject to "
+                             "per-domain precision >= the hand veto's "
+                             "— precision under shift is what bounds "
+                             "hallucination (round-5, verdict item 5)")
     parser.add_argument("--output", type=str,
                         default="./checkpoints/targeting_stacker.json")
     parser.add_argument("--fit_chunk", type=int, default=64,
@@ -143,6 +151,7 @@ def main(argv=None):
     num = args.num_samples
     f = featurize_split(pipe, cfg, tokenizer, args.val_seed, num,
                         chunk=args.fit_chunk)
+    domain_sizes = [num]                 # rows per fit domain, in order
     for spec in args.fit_shift or []:
         noise_s, seed_s = spec.split(":")
         # same scaling rule as cli/common.py shift seeds: far past any
@@ -154,6 +163,7 @@ def main(argv=None):
         f = {k: np.concatenate([f[k], fs[k]],
                                axis=1 if k == "stack" else 0)
              for k in f}
+        domain_sizes.append(num)
         logger.info("fit split widened with shifted domain %s", spec)
     th = np.broadcast_to(np.asarray(pipe._thresholds(), np.float32),
                          (len(OBSERVATION_NAMES),))
@@ -173,6 +183,44 @@ def main(argv=None):
     rag = cfg.rag
     veto_keep = ((mean > rag.veto_prob)
                  | (f["votes10"] >= rag.veto_min_votes))
+
+    if args.fit_tau and len(domain_sizes) > 1:
+        # robust tau: the single decision threshold that maximizes the
+        # WORST per-domain micro-F1, subject to per-domain precision
+        # >= the hand veto's (dropped if infeasible).  A tau fitted on
+        # the pooled split optimizes the average domain and loses the
+        # shifted cell; the minimax choice is what "stacker >= veto in
+        # every grid cell" actually requires.
+        kp = stacker.keep_probs(f["stack"], f["votes10"], f["votes20"],
+                                f["swv10"], f["score_stats"])
+        nf_col = OBSERVATION_NAMES.index("No Finding")
+        bounds = np.cumsum([0] + domain_sizes)
+        segs = [slice(a, b) for a, b in zip(bounds[:-1], bounds[1:])]
+        veto_prec = [expected_set_f1(
+            (pos & veto_keep)[s], f["labels"][s])["precision"]
+            for s in segs]
+        best = None
+        for tau_c in np.arange(0.30, 0.801, 0.025):
+            keep = kp > tau_c
+            keep[:, nf_col] = True
+            rows_d = [expected_set_f1((pos & keep)[s], f["labels"][s])
+                      for s in segs]
+            worst_f1 = min(r["micro_f1"] for r in rows_d)
+            prec_ok = all(r["precision"] >= vp - 1e-9
+                          for r, vp in zip(rows_d, veto_prec))
+            key = (prec_ok, worst_f1,
+                   min(r["precision"] for r in rows_d))
+            if best is None or key > best[0]:
+                best = (key, float(tau_c), rows_d)
+        stacker.tau = best[1]
+        args.tau = best[1]
+        stacker.meta["fit_tau"] = {
+            "tau": best[1], "per_domain": best[2],
+            "veto_precision_per_domain": veto_prec,
+            "precision_constraint_met": bool(best[0][0])}
+        logger.info("fit_tau sweep -> tau=%.3f (worst-domain f1 %.4f,"
+                    " precision constraint %s)", best[1], best[0][1],
+                    "met" if best[0][0] else "DROPPED")
     rows = {
         "no_veto": expected_set_f1(pos, f["labels"]),
         f"hand_veto_{rag.veto_prob}_{rag.veto_min_votes}":

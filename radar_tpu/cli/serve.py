@@ -58,6 +58,14 @@ def build_parser():
                         help="N > 1: data-parallel serving over N "
                              "devices (batch buckets become multiples "
                              "of N)")
+    parser.add_argument("--warmup", choices=["none", "uint8", "both"],
+                        default="uint8",
+                        help="pre-compile every batch bucket BEFORE "
+                             "opening the listener so no client ever "
+                             "pays the 20-40s first-use XLA compile: "
+                             "'uint8' warms the production wire "
+                             "signature, 'both' also warms float32 "
+                             "image submits")
     add_data_args(parser)
     add_common_args(parser)
     return parser
@@ -78,6 +86,22 @@ def start(argv=None):
         max_wait_ms=args.max_wait_ms,
         max_queue=args.max_queue,
         batch_multiple=max(args.serving_dp, 1)))
+    if args.warmup != "none":
+        # warm every bucket before the listener opens: the compile
+        # stall lands here, not on the first unlucky clients
+        import numpy as np
+        from .evaluate_retrieval_system import _normalized_image
+        s = datasets["train"][0]
+        meta = datasets["train"].sample_meta(0)
+        img_f32 = _normalized_image(s, cfg)
+        from ..data.dataset import IMAGE_MEAN, IMAGE_STD
+        img_u8 = np.clip((img_f32 * np.asarray(IMAGE_STD, np.float32)
+                          + np.asarray(IMAGE_MEAN, np.float32)) * 255.0,
+                         0, 255).astype(np.uint8)
+        server.warmup(img_u8, meta["clinical_context"])
+        if args.warmup == "both":
+            server.warmup(img_f32, meta["clinical_context"])
+        server.reset_stats()
     http = RadarHTTPServer(server, host=args.host, port=args.port)
     logger.info("RADAR serving on http://%s:%d (batch<=%d, wait %.0fms)",
                 http.host, http.port, args.serve_batch, args.max_wait_ms)

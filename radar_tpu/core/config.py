@@ -123,6 +123,12 @@ class VisionConfig(ConfigBase):
     # explicit padding to 256 with a fused key mask reclaims it while
     # keeping outputs exact (padded rows never pool).
     seq_pad_to: int = 0
+    # fuse the three E->E Q/K/V projections of every self-attention
+    # into one E->3E GEMM (round-5 MFU lever: one big MXU matmul with
+    # a single weight load instead of three).  Changes the param tree
+    # ("qkv" replaces "q"/"k"/"v"), so it is opt-in and OFF for any
+    # checkpoint-compatible path.
+    fused_qkv: bool = False
     # swinv2-only: per-stage depths/heads + attention window
     depths: tuple[int, ...] = (2, 2, 6, 2)
     stage_heads: tuple[int, ...] = ()   # () -> num_heads * 2**stage
@@ -142,6 +148,7 @@ class TextConfig(ConfigBase):
     dropout_rate: float = 0.0
     arch: str = "preln"  # "preln" (TPU-native) | "bert" (HF-importable)
     quant: str = "none"  # "none" | "int8" (W8A8 serving, ops/quant.py)
+    fused_qkv: bool = False  # one E->3E QKV GEMM (see VisionConfig)
 
 
 @dataclass(frozen=True)
@@ -190,7 +197,11 @@ class RetrievalConfig(ConfigBase):
     #: at 4096-passage scale (Jaccard>=0.5 relevance): diagonal 0.914
     #: image MRR vs blend 0.859 vs multipos 0.60 — the instance-level
     #: pairing signal beats relevance-matched soft targets once the
-    #: schedule lets training run to convergence.
+    #: schedule lets training run to convergence.  "exact" (round-5)
+    #: keeps the diagonal base but masks in-batch exact-label-set
+    #: duplicates out of the denominators and adds an own-pair ranking
+    #: hinge on near-miss label sets — targets the EXACT-set relevance
+    #: headline (models/losses.exact_ranking_infonce).
     objective: str = "diagonal"
     blend_self_weight: float = 4.0
 

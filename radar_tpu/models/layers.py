@@ -61,23 +61,36 @@ class MultiHeadAttention(nn.Module):
     dtype: Dtype = jnp.float32
     causal: bool = False
     quant: bool | str = False
+    #: self-attention only: one E->3E projection instead of three
+    #: E->E GEMMs (single weight load, one bigger MXU matmul).
+    #: Different param tree ("qkv") — opt-in, see VisionConfig.
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, kv=None, mask=None, *, deterministic: bool = True):
+        is_self = kv is None
         kv = x if kv is None else kv
         e = x.shape[-1]
         assert e % self.num_heads == 0, "hidden not divisible by heads"
         d = e // self.num_heads
         dk = _dense_kwargs(self.quant)
 
-        def heads(name, inp):
-            y = nn.Dense(e, dtype=self.dtype, name=name, **dk)(inp)
+        def split_heads(y):
             return y.reshape(*y.shape[:-1], self.num_heads, d).transpose(
                 0, 2, 1, 3)
 
-        q = heads("q", x)
-        k = heads("k", kv)
-        v = heads("v", kv)
+        def heads(name, inp):
+            return split_heads(
+                nn.Dense(e, dtype=self.dtype, name=name, **dk)(inp))
+
+        if self.fused_qkv and is_self:
+            y = nn.Dense(3 * e, dtype=self.dtype, name="qkv", **dk)(x)
+            q, k, v = (split_heads(y[..., i * e:(i + 1) * e])
+                       for i in range(3))
+        else:
+            q = heads("q", x)
+            k = heads("k", kv)
+            v = heads("v", kv)
         if mask is not None and mask.ndim == 2:   # [B, Sk] padding mask
             mask = mask[:, None, None, :].astype(bool)
         out = dot_product_attention(q, k, v, mask=mask, causal=self.causal)
@@ -93,6 +106,7 @@ class EncoderBlock(nn.Module):
     dropout_rate: float = 0.0
     dtype: Dtype = jnp.float32
     quant: bool | str = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
@@ -102,6 +116,7 @@ class EncoderBlock(nn.Module):
         h = nn.LayerNorm(dtype=self.dtype, name="ln1")(x)
         h = MultiHeadAttention(self.num_heads, self.dropout_rate,
                                self.dtype, quant=self.quant,
+                               fused_qkv=self.fused_qkv,
                                name="attn")(
             h, mask=mask, deterministic=deterministic)
         x = x + h
@@ -120,6 +135,7 @@ class TransformerEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     quant: bool | str = False
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True):
@@ -132,7 +148,8 @@ class TransformerEncoder(nn.Module):
             # static_argnums=(3,) argument (self=0, x=1, mask=2)
             x = block_cls(self.num_heads, self.mlp_ratio,
                           self.dropout_rate, self.dtype,
-                          quant=self.quant, name=f"block_{i}")(
+                          quant=self.quant, fused_qkv=self.fused_qkv,
+                          name=f"block_{i}")(
                 x, mask, deterministic)
         return nn.LayerNorm(dtype=self.dtype, name="ln_final")(x)
 

@@ -100,6 +100,73 @@ def contrastive_loss(image_embeds: jnp.ndarray, text_embeds: jnp.ndarray,
     return total, {"contrastive": base, "hard_negative": hard_neg}
 
 
+def exact_ranking_infonce(image_embeds: jnp.ndarray,
+                          text_embeds: jnp.ndarray,
+                          logit_scale: jnp.ndarray,
+                          labels: jnp.ndarray,
+                          config: ExpertConfig | None = None,
+                          rank_delta: float = 0.1
+                          ) -> tuple[jnp.ndarray, dict]:
+    """Diagonal InfoNCE specialized for EXACT label-set retrieval
+    (round-5, verdict item 4: image exact-set MRR 0.676 vs text 0.871).
+
+    Two changes vs :func:`contrastive_loss`, both aimed at what the
+    exact-set MRR actually measures:
+
+    1. **Duplicate-masked denominators**: an in-batch pair whose
+       pathology label sets (first 13 observations) are *identical* is
+       a true positive under the exact-set relevance definition — the
+       plain diagonal objective pushes the image away from that
+       passage anyway, training the tower to separate studies the eval
+       wants ranked together.  Such pairs are removed from both
+       softmax denominators (the own pair stays the target).
+    2. **Ranking hinge on near-misses**: pairs with label Jaccard >
+       ``hard_negative_low`` but NOT exactly equal are the confusers
+       that sit between rank 1 and the exact match (e.g. {A,B,C} vs
+       {A,B,C,D}, jac 0.75).  Instead of only an absolute cap
+       (``cos < margin``), each one is hinged RELATIVE to the own
+       pair: ``max(0, cos_confuser - cos_own + rank_delta)`` — the
+       constraint MRR scores, not a proxy.
+
+    Both-all-negative pairs count as exactly equal (mirrors
+    ``eval.retrieval_eval.relevance_sets``).
+    """
+    config = config or ExpertConfig()
+    path = (labels[:, :13] > 0.5).astype(jnp.float32)
+    inter = path @ path.T
+    sums = jnp.sum(path, axis=-1, keepdims=True)
+    eq = ((inter == sums) & (inter == sums.T)
+          & (sums > 0)) | ((sums == 0) & (sums.T == 0))
+    b = path.shape[0]
+    eye = jnp.eye(b, dtype=bool)
+    dup = eq & ~eye                              # true dupes, off-diag
+
+    sim = logit_scale * (image_embeds @ text_embeds.T)
+    masked = jnp.where(dup, -1e9, sim)
+    targets = jnp.arange(b)
+    loss_i2t = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        masked, targets))
+    loss_t2i = jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+        masked.T, targets))
+    base = 0.5 * (loss_i2t + loss_t2i)
+
+    jac = inter / jnp.maximum(sums + sums.T - inter, 1e-8)
+    confus = ((jac > config.hard_negative_low) & ~eq
+              & ~eye).astype(jnp.float32)
+    cos = image_embeds @ text_embeds.T
+    own = jnp.diagonal(cos)[:, None]
+    # image->text ranking: confuser passages must trail the own
+    # passage by rank_delta; symmetric term for text->image
+    r_i2t = jnp.maximum(cos - own + rank_delta, 0.0) * confus
+    r_t2i = jnp.maximum(cos - jnp.diagonal(cos)[None, :]
+                        + rank_delta, 0.0) * confus
+    denom = jnp.maximum(jnp.sum(confus), 1.0)
+    rank_hinge = 0.5 * (jnp.sum(r_i2t) + jnp.sum(r_t2i)) / denom
+    total = base + rank_hinge
+    return total, {"contrastive": base, "rank_hinge": rank_hinge,
+                   "mean_dupes": jnp.mean(jnp.sum(dup, axis=-1))}
+
+
 def multi_positive_infonce(image_embeds: jnp.ndarray,
                            text_embeds: jnp.ndarray,
                            logit_scale: jnp.ndarray,

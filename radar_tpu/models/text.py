@@ -37,7 +37,7 @@ class TextEncoder(nn.Module):
             depth=cfg.depth, num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio, dropout_rate=cfg.dropout_rate,
             dtype=self.dtype, remat=self.remat,
-            quant=cfg.quant, name="encoder")(
+            quant=cfg.quant, fused_qkv=cfg.fused_qkv, name="encoder")(
             x, attention_mask, deterministic=deterministic)
 
         pooled = pool_tokens(hidden, "cls")

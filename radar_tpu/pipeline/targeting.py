@@ -54,10 +54,27 @@ assert SWV_TOP_M in VOTE_TOP_MS
 #: (Fusion conflict scores stay out: serving computes them on
 #: RETRIEVED passages later in the loop, so a gate-time conflict
 #: feature would cost an extra fusion dispatch per batch.)
+#: v3 (round-5, verdict item 5): per-study RANK features — each
+#: member's probability rank across the study's observations, the mean
+#: probability's rank, and the vote fraction's rank.  Ranks are
+#: computed at serve time from the study itself, so they are invariant
+#: to any monotone per-member mis-calibration: exactly the failure
+#: mode of the ensemble+shift cell, where all members' absolute
+#: calibrated probabilities degrade together under domain shift and
+#: the v2 rule (fitted on absolute probabilities) degraded with them.
 FEATURE_SPEC = (f"mean,std,max,min,member_probs,votes{VOTE_TOP_MS[0]},"
                 f"votes{VOTE_TOP_MS[1]},swv{SWV_TOP_M},swv_norm,"
                 f"vote_delta,score_top1,score_mean{SWV_TOP_M},"
-                f"score_margin,obs_onehot,bias")
+                f"score_margin,member_ranks,mean_rank,vote_rank,"
+                f"obs_onehot,bias")
+
+
+def _study_rank(a: np.ndarray) -> np.ndarray:
+    """[N, n_obs] -> per-row rank of each column's value, normalized
+    to [0, 1] (0 = smallest in the study).  Deterministic under ties
+    (stable argsort order)."""
+    order = np.argsort(np.argsort(a, axis=1, kind="stable"), axis=1)
+    return order.astype(np.float32) / max(a.shape[1] - 1, 1)
 
 
 def neighbour_vote_features(nbr_ids: np.ndarray,
@@ -134,6 +151,9 @@ def build_features(stack: np.ndarray, votes10: np.ndarray,
               np.abs(mean - vote_frac10)]  # cross-modal disagreement
     feats += [np.broadcast_to(score_stats[:, j:j + 1], mean.shape)
               for j in range(3)]
+    # v3 shift-invariant ranks (see FEATURE_SPEC note)
+    feats += [_study_rank(stack[m]) for m in range(stack.shape[0])]
+    feats += [_study_rank(mean), _study_rank(vote_frac10)]
     x = np.stack(feats, axis=-1)
     eye = np.broadcast_to(np.eye(n_obs, dtype=np.float32),
                           (n, n_obs, n_obs))
@@ -174,8 +194,9 @@ class TargetingStacker:
     @property
     def num_features(self) -> int:
         # mean/std/max/min + M member probs + 5 vote/disagreement
-        # features + 3 score stats + one-hot
-        return 4 + self.n_members + 5 + 3 + self.n_obs
+        # features + 3 score stats + (M + 2) rank features + one-hot
+        return 4 + self.n_members + 5 + 3 + (self.n_members + 2) \
+            + self.n_obs
 
     def __post_init__(self):
         self.weights = np.asarray(self.weights, np.float64)

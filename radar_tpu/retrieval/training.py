@@ -20,7 +20,8 @@ import optax
 from ..core.config import RadarConfig
 from ..core.logging import get_logger
 from ..core.training import make_optimizer
-from ..models.losses import contrastive_loss, multi_positive_infonce
+from ..models.losses import (contrastive_loss, exact_ranking_infonce,
+                             multi_positive_infonce)
 from ..utils.contention import maybe_yield
 from .embedder import CrossModalEmbedder
 
@@ -80,7 +81,14 @@ def train_embedder(config: RadarConfig,
                                           batch["attention_mask"]))
         labels = batch.get("labels")
         objective = config.retrieval.objective
-        if labels is not None and objective in ("multipos", "blend"):
+        if labels is not None and objective == "exact":
+            # diagonal InfoNCE with duplicate-masked denominators +
+            # own-pair ranking hinge on near-miss label sets — the
+            # objective matching the exact-set relevance headline
+            # (eval.retrieval_eval): round-5, verdict item 4
+            loss, parts = exact_ranking_infonce(
+                img, txt, temperature, labels, config=config.expert)
+        elif labels is not None and objective in ("multipos", "blend"):
             # positives mirror the corpus relevance definition
             # (eval.retrieval_eval.relevance_sets: Jaccard>=0.5);
             # "blend" keeps the own pair dominant

@@ -287,6 +287,54 @@ class RadarServer:
                 r.future.set_result(res)
 
     # ------------------------------------------------------------------
+    def warmup(self, image: np.ndarray, clinical_context: str,
+               verify_grounding: bool = False,
+               prior_image: np.ndarray | None = None,
+               repeats: int = 2) -> float:
+        """Pre-compile every bucket for one option signature BEFORE
+        traffic arrives (round-4 verdict item: a first-use compile
+        through the relay is 20-40 s and lands on whichever real
+        request is unlucky enough to trigger it, poisoning the
+        light-load latency tail).
+
+        Runs largest-bucket-first so the big compile happens while the
+        queue is empty, and ``repeats`` times per bucket: the first
+        pass pays XLA compilation, the second primes the relay's
+        replay cache so the first real request sees steady-state
+        execution, not a cold program.  Returns wall seconds spent.
+        Call ``reset_stats()`` afterwards — warmup rows are submitted
+        through the normal queue (same code path as traffic, which is
+        the point) and would otherwise pollute the latency
+        distributions with compile time.
+        """
+        t0 = time.perf_counter()
+        for _ in range(max(repeats, 1)):
+            for b in sorted(self._buckets, reverse=True):
+                futs = [self.submit(image, clinical_context,
+                                    prior_image=prior_image,
+                                    verify_grounding=verify_grounding)
+                        for _ in range(b)]
+                for f in futs:
+                    f.result()
+        dt = time.perf_counter() - t0
+        logger.info("warmup: %d buckets x%d in %.1fs",
+                    len(self._buckets), max(repeats, 1), dt)
+        return dt
+
+    def reset_stats(self) -> None:
+        """Zero the serving counters/distributions (e.g. after
+        ``warmup`` so stats reflect real traffic only)."""
+        with self._stats_lock:
+            self._latencies.clear()
+            self._queue_waits.clear()
+            self._batch_sizes.clear()
+            self._padded_rows = 0
+            self._served = 0
+            self._rejected = 0
+            self._t_first = None
+            self._t_last = None
+
+    # ------------------------------------------------------------------
     def stats(self) -> dict:
         """Serving counters since construction (last 4096 requests for
         the distributions)."""

@@ -268,3 +268,58 @@ def test_vision_seq_padding_exact(cfg):
     np.testing.assert_allclose(np.asarray(out_p["last_hidden_state"]),
                                np.asarray(out_b["last_hidden_state"]),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_exact_ranking_infonce_masks_dupes_and_ranks_confusers():
+    """The "exact" retrieval objective (round-5): (1) an in-batch pair
+    with an IDENTICAL pathology label set is masked out of the softmax
+    denominators (it is a true positive under exact-set relevance, so
+    its presence must not raise the loss); (2) a near-miss label set
+    (high Jaccard, not equal) scoring above the own pair incurs a
+    ranking hinge; (3) the gradient direction prefers the own passage
+    ranked above the confuser."""
+    import optax
+
+    # items 0,1 share the exact set {A,B}; item 2 = {A,B,C} (jac 2/3,
+    # a confuser); item 3 = {D} (plain negative)
+    labels = (jnp.zeros((4, 14)).at[0, 0].set(1).at[0, 1].set(1)
+              .at[1, 0].set(1).at[1, 1].set(1)
+              .at[2, 0].set(1).at[2, 1].set(1).at[2, 2].set(1)
+              .at[3, 3].set(1))
+    k = jax.random.key(7)
+    img = jax.random.normal(k, (4, 16))
+    img = img / jnp.linalg.norm(img, axis=-1, keepdims=True)
+    txt = jax.random.normal(jax.random.key(8), (4, 16))
+    txt = txt / jnp.linalg.norm(txt, axis=-1, keepdims=True)
+    cfg = ExpertConfig()
+
+    total, parts = L.exact_ranking_infonce(img, txt, 7.0, labels,
+                                           config=cfg)
+    # (1) duplicate masking: recompute the base by hand with the
+    # (0,1)/(1,0) entries removed from the denominators
+    sim = 7.0 * np.asarray(img @ txt.T)
+    masked = sim.copy()
+    masked[0, 1] = masked[1, 0] = -1e9
+    t = np.arange(4)
+    want = 0.5 * (
+        float(jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            jnp.asarray(masked), t)))
+        + float(jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            jnp.asarray(masked.T), t))))
+    assert abs(float(parts["contrastive"]) - want) < 1e-4
+    assert float(parts["mean_dupes"]) == pytest.approx(0.5)
+
+    # (2+3) ranking hinge: craft embeddings where the confuser passage
+    # outranks the own passage for image 0 -> hinge positive, and the
+    # fixed version (own on top) scores strictly lower
+    e = np.eye(4, 16, dtype=np.float32)
+    img2 = jnp.asarray(e)
+    bad_txt = e.copy()
+    bad_txt[[0, 2]] = bad_txt[[2, 0]]        # passage 2 where 0 should be
+    good_total, good_parts = L.exact_ranking_infonce(
+        img2, jnp.asarray(e), 7.0, labels, config=cfg)
+    bad_total, bad_parts = L.exact_ranking_infonce(
+        img2, jnp.asarray(bad_txt), 7.0, labels, config=cfg)
+    assert float(bad_parts["rank_hinge"]) > float(
+        good_parts["rank_hinge"])
+    assert float(good_total) < float(bad_total)

@@ -160,3 +160,36 @@ def test_swin_remat_trains_and_matches():
         np.asarray(enc.apply({"params": params}, x)["pooler_output"]),
         np.asarray(enc_r.apply({"params": params}, x)["pooler_output"]),
         atol=1e-6)
+
+
+def test_fused_qkv_matches_unfused():
+    """fused_qkv=True (one E->3E GEMM) must be numerically identical
+    to the three-GEMM path when its kernel/bias are the concatenation
+    of the unfused q/k/v params (round-5 MFU lever)."""
+    import numpy as np
+    from radar_tpu.models.layers import MultiHeadAttention
+
+    e, b, s = 32, 2, 9
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(b, s, e)),
+                    jnp.float32)
+    unfused = MultiHeadAttention(num_heads=4)
+    fused = MultiHeadAttention(num_heads=4, fused_qkv=True)
+    p = unfused.init(jax.random.key(0), x)["params"]
+    pf = {
+        "qkv": {
+            "kernel": jnp.concatenate(
+                [p[n]["kernel"] for n in ("q", "k", "v")], axis=1),
+            "bias": jnp.concatenate(
+                [p[n]["bias"] for n in ("q", "k", "v")]),
+        },
+        "out": p["out"],
+    }
+    y0 = unfused.apply({"params": p}, x)
+    y1 = fused.apply({"params": pf}, x)
+    assert np.allclose(np.asarray(y0), np.asarray(y1), atol=1e-5)
+
+    # cross-attention ignores the flag (falls back to q/k/v params)
+    kv = jnp.asarray(np.random.default_rng(1).normal(size=(b, 5, e)),
+                     jnp.float32)
+    pc = fused.init(jax.random.key(1), x, kv)["params"]
+    assert "q" in pc and "qkv" not in pc

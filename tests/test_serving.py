@@ -235,8 +235,10 @@ def test_bench_async_serving_cli(tmp_path):
     assert row["latency_p50_s"] > 0
     assert row["achieved_rps"] > 0
     assert 1 <= row["mean_batch_size"] <= 4
-    # warmup (one burst per bucket: 4+2+1) + the measured 8-request load
-    assert r["server_stats"]["requests_served"] == 15
+    # warmup rows (2 passes over buckets 4+2+1) are excluded from the
+    # aggregate stats by reset_stats(); only the measured load remains
+    assert r["server_stats"]["requests_served"] == 8
+    assert r["warmup_seconds"] > 0
 
 
 def test_http_endpoint(pipeline, dataset):
@@ -451,3 +453,29 @@ def test_uint8_requests_end_to_end(pipeline, dataset):
     assert all(r["report"] for r in results)
     # u8 and f32 submissions must not have shared a batch
     assert all(r["serving"]["batch_size"] == 2 for r in results)
+
+
+def test_warmup_compiles_buckets_and_reset_stats(pipeline, dataset):
+    """warmup() exercises every bucket through the real submit path
+    (largest first), and reset_stats() zeroes the distributions so the
+    aggregate stats a deployment reports reflect traffic only — not
+    the 20-40 s first-use compiles (round-4: 127 warmup rows drove the
+    aggregate p95 to 71 s)."""
+    images, contexts = _studies(dataset, 1)
+    server = RadarServer(pipeline, ServerConfig(
+        max_batch_size=4, max_wait_ms=0.0))
+    dt = server.warmup(images[0], contexts[0], repeats=2)
+    assert dt > 0
+    stats = server.stats()
+    # 2 passes over buckets (1, 2, 4) = 14 rows
+    assert stats["requests_served"] == 14
+    server.reset_stats()
+    stats = server.stats()
+    assert stats["requests_served"] == 0
+    assert stats["batches"] == 0
+    assert stats["latency_p50_s"] == 0.0
+    # the server still serves normally after a reset
+    fut = server.submit(images[0], contexts[0])
+    assert isinstance(fut.result(timeout=120)["report"], str)
+    assert server.stats()["requests_served"] == 1
+    server.shutdown()

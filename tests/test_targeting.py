@@ -68,7 +68,7 @@ def test_fit_learns_non_axis_aligned_boundary():
 
 
 def test_keep_mask_exempts_no_finding():
-    w = np.full(4 + 1 + 5 + 3 + N_OBS + 1, -10.0)   # drop everything
+    w = np.full(4 + 1 + 5 + 3 + (1 + 2) + N_OBS + 1, -10.0)  # drop all
     st = TargetingStacker(weights=w, tau=0.5, n_members=1)
     stack = np.full((1, 4, N_OBS), 0.9, np.float32)
     z = np.zeros((4, N_OBS), np.float32)
@@ -112,7 +112,7 @@ def test_member_count_guard(cfg, dataset, tokenizer):
         jax.random.key(0), jnp.asarray(s["pixel_values"])[None],
         jnp.asarray(s["input_ids"])[None],
         jnp.asarray(s["attention_mask"])[None])["params"]
-    w = np.zeros(4 + 3 + 5 + 3 + N_OBS + 1)
+    w = np.zeros(4 + 3 + 5 + 3 + (3 + 2) + N_OBS + 1)
     st = TargetingStacker(weights=w, n_members=3)
     with pytest.raises(ValueError, match="fitted for 3"):
         RadarPipeline(cfg, tokenizer, expert, params, stacker=st)
@@ -166,7 +166,7 @@ def test_gate_positives_consults_stacker(cfg, dataset, tokenizer):
     loaded (all-drop stacker empties the positives; all-keep stacker
     preserves them even where the hand veto would drop), and fall back
     to the hand veto when neighbour features are missing."""
-    n_feat = 4 + 1 + 5 + 3 + N_OBS
+    n_feat = 4 + 1 + 5 + 3 + (1 + 2) + N_OBS
     drop = TargetingStacker(weights=np.full(n_feat + 1, -10.0),
                             n_members=1)
     keep = TargetingStacker(weights=np.concatenate(
