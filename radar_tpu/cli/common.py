@@ -198,3 +198,27 @@ def batch_iterator_factory(dataset, batch_size: int, *, shuffle=False,
 
 def steps_per_epoch(dataset, batch_size: int) -> int:
     return max(1, len(dataset) // batch_size)
+
+
+def apply_embedder_meta(cfg, checkpoint_dir: str):
+    """Rebuild-compatibility shim: if ``checkpoint_dir`` carries an
+    ``embedder_meta.json`` (written by train_retrieval_system since
+    round 5), override the retrieval-config fields that change the
+    embedder's PARAM TREE (obs_head) so restore sites reconstruct the
+    module the checkpoint was trained with — without every eval/serve
+    caller having to repeat ``--set retrieval.obs_head=true``."""
+    import dataclasses
+    import json as _json
+    import os as _os
+    meta_path = _os.path.join(checkpoint_dir, "embedder_meta.json")
+    try:
+        with open(meta_path) as f:
+            meta = _json.load(f)
+    except (OSError, ValueError):
+        return cfg
+    obs_head = bool(meta.get("obs_head", False))
+    if obs_head == cfg.retrieval.obs_head:
+        return cfg
+    return dataclasses.replace(
+        cfg, retrieval=dataclasses.replace(cfg.retrieval,
+                                           obs_head=obs_head))

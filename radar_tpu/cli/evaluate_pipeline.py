@@ -145,6 +145,8 @@ def build_pipeline_from_args(args, cfg, tokenizer, train_ds
             logger.warning(
                 "retrieval.capacity %d does not divide over %d chips; "
                 "index stays unsharded", cfg.retrieval.capacity, n_dp)
+    from .common import apply_embedder_meta
+    cfg = apply_embedder_meta(cfg, args.retrieval_checkpoint)
     dpr = create_dpr_model(cfg, tokenizer, mesh=index_mesh)
     emb_ckpt = os.path.join(args.retrieval_checkpoint, "embedder")
     if os.path.isdir(emb_ckpt):

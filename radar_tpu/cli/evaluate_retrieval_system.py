@@ -89,6 +89,8 @@ def main(argv=None):
     dpr = None
     if contributions:
         from ..retrieval.dpr import create_dpr_model
+        from .common import apply_embedder_meta
+        cfg = apply_embedder_meta(cfg, args.checkpoint_dir)
         dpr = create_dpr_model(cfg, tokenizer)
         dpr.embedder.params = _maybe_restore(
             os.path.join(args.checkpoint_dir, "embedder"),

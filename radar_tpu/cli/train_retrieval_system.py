@@ -101,6 +101,13 @@ def main(argv=None):
         acc = retrieval_alignment(module, params, factory)
         save_params(os.path.join(args.output_dir, "embedder"),
                     {"params": params})
+        # marker so restore sites (eval CLI, pipeline) can rebuild the
+        # embedder with the matching param tree without the caller
+        # repeating --set retrieval.obs_head=true
+        atomic_write_json(
+            os.path.join(args.output_dir, "embedder_meta.json"),
+            {"obs_head": bool(cfg.retrieval.obs_head),
+             "objective": cfg.retrieval.objective}, indent=2)
         results["2.1"] = {"history": history,
                           "alignment_top1": acc,
                           "seconds": round(time.time() - t0, 2)}

@@ -204,6 +204,18 @@ class RetrievalConfig(ConfigBase):
     #: headline (models/losses.exact_ranking_infonce).
     objective: str = "diagonal"
     blend_self_weight: float = 4.0
+    #: round-5: give the embedder an image->observation head (BCE-
+    #: trained alongside the contrastive objective) and score image
+    #: queries with the index's hybrid semantic+observation rule.
+    #: Exact-set relevance needs all 13 pathology bits right — a job
+    #: for a classifier, not a metric space: the pure-semantic image
+    #: query tops out ~0.69 exact-set MRR while label information is
+    #: demonstrably recoverable from the image (experts hit 0.95
+    #: macro-F1 on the same pixels).  Param-gated so pre-round-5
+    #: checkpoints (no head) keep restoring.
+    obs_head: bool = False
+    #: weight of the BCE observation loss in embedder training
+    obs_head_weight: float = 1.0
 
 
 @dataclass(frozen=True)

@@ -94,9 +94,22 @@ class DPREvaluator:
         _, ids = self.dpr.index.search(q_emb, k=max_k)
         retrieved = [row[row >= 0] for row in ids]
         img_retrieved = None
+        img_obs_probs = None
         if query_images is not None:
-            qi_emb = self.dpr.embedder.embed_images(query_images)
-            _, iids = self.dpr.index.search(qi_emb, k=max_k)
+            if getattr(self.dpr.embedder, "has_obs_head", False):
+                # round-5 hybrid image query: the embedder's own
+                # image->observation head supplies soft labels to the
+                # index's hybrid semantic+observation score (the
+                # reference's dead hybrid_alpha, made real AND wired
+                # to the query side).  Exact-set relevance is a
+                # classification problem as much as a metric one.
+                qi_emb, img_obs_probs = \
+                    self.dpr.embedder.embed_images_with_obs(query_images)
+                _, iids = self.dpr.index.search(
+                    qi_emb, k=max_k, query_observations=img_obs_probs)
+            else:
+                qi_emb = self.dpr.embedder.embed_images(query_images)
+                _, iids = self.dpr.index.search(qi_emb, k=max_k)
             img_retrieved = [row[row >= 0] for row in iids]
 
         curve = {}
@@ -118,6 +131,10 @@ class DPREvaluator:
         report["num_passages"] = int(self.dpr.index.count)
         report["relevance"] = RELEVANCE_DEFINITION
         report["relevance_curve"] = curve
+        report["image_query_scoring"] = (
+            f"hybrid semantic+observation (embedder obs_head, "
+            f"alpha={self.dpr.index.config.hybrid_alpha})"
+            if img_obs_probs is not None else "semantic")
         return report
 
 

@@ -42,6 +42,12 @@ class CrossModalEmbedder(nn.Module):
                                         name="text_proj")
         self.image_projection = nn.Dense(dim, dtype=self.dtype,
                                          name="image_proj")
+        if self.retrieval_config.obs_head:
+            # image->observation logits for hybrid query scoring
+            # (round-5; config-gated so old param trees still restore)
+            from ..core.constants import OBSERVATION_NAMES
+            self.obs_head = nn.Dense(len(OBSERVATION_NAMES),
+                                     dtype=self.dtype, name="obs_head")
 
     @staticmethod
     def _normalize(x):
@@ -62,9 +68,29 @@ class CrossModalEmbedder(nn.Module):
         pooled = self.vision(pixel_values)["pooler_output"]
         return self._normalize(self.image_projection(pooled))
 
+    def image_observation_logits(self, pixel_values):
+        """[B, 14] observation logits from the image tower (only when
+        ``retrieval_config.obs_head``) — the classification signal the
+        hybrid image-query score mixes with cosine similarity."""
+        pooled = self.vision(pixel_values)["pooler_output"]
+        return self.obs_head(pooled).astype(jnp.float32)
+
+    def encode_image_with_obs(self, pixel_values):
+        """(embedding [B, D], observation logits [B, 14]) sharing one
+        vision forward — what image-query retrieval actually needs."""
+        pooled = self.vision(pixel_values)["pooler_output"]
+        emb = self._normalize(self.image_projection(pooled))
+        return emb, self.obs_head(pooled).astype(jnp.float32)
+
     def __call__(self, pixel_values, input_ids, attention_mask=None):
-        return (self.encode_image(pixel_values),
-                self.encode_text(input_ids, attention_mask))
+        if self.retrieval_config.obs_head:
+            # route through the joint method so ``init`` creates the
+            # obs_head params (the duplicate deterministic vision
+            # forward is CSE'd under jit; training reuses the logits)
+            img, _ = self.encode_image_with_obs(pixel_values)
+        else:
+            img = self.encode_image(pixel_values)
+        return img, self.encode_text(input_ids, attention_mask)
 
 
 class JittedEmbedder:
@@ -85,6 +111,11 @@ class JittedEmbedder:
         self._text_hidden = jax.jit(
             lambda p, ids, m: module.apply({"params": p}, ids, m,
                                            method=module.text_hidden))
+        self._encode_image_obs = (jax.jit(
+            lambda p, pv: module.apply(
+                {"params": p}, pv,
+                method=module.encode_image_with_obs))
+            if module.retrieval_config.obs_head else None)
 
     @property
     def params(self):
@@ -154,3 +185,22 @@ class JittedEmbedder:
         serving path, where the image batch is uploaded once (as
         uint8) and preprocessed on device."""
         return self._encode_image(self.params, images)
+
+    @property
+    def has_obs_head(self) -> bool:
+        return self.module.retrieval_config.obs_head
+
+    def embed_images_with_obs(self, images, batch_size: int = 64):
+        """(embeddings [N, D], observation probs [N, 14]) in one
+        vision forward per chunk — the hybrid image-query inputs."""
+        import numpy as np
+        if self._encode_image_obs is None:
+            raise ValueError("embedder has no obs_head "
+                             "(retrieval_config.obs_head=False)")
+        embs, probs = [], []
+        for start in range(0, len(images), batch_size):
+            chunk = jnp.asarray(np.stack(images[start:start + batch_size]))
+            e, lg = self._encode_image_obs(self.params, chunk)
+            embs.append(np.asarray(e))
+            probs.append(np.asarray(jax.nn.sigmoid(lg)))
+        return np.concatenate(embs, 0), np.concatenate(probs, 0)

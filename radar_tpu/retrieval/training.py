@@ -14,6 +14,7 @@ import dataclasses
 from typing import Iterable, Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -80,6 +81,16 @@ def train_embedder(config: RadarConfig,
                                 batch.get("report_mask",
                                           batch["attention_mask"]))
         labels = batch.get("labels")
+        obs_bce = 0.0
+        if config.retrieval.obs_head and labels is not None:
+            # image->observation BCE so the hybrid image-query score
+            # has a classification signal (round-5, exact-set headline)
+            lg = module.apply({"params": params},
+                              batch["pixel_values"],
+                              method=module.image_observation_logits)
+            obs_bce = config.retrieval.obs_head_weight * jnp.mean(
+                optax.sigmoid_binary_cross_entropy(
+                    lg, labels.astype(jnp.float32)))
         objective = config.retrieval.objective
         if labels is not None and objective == "exact":
             # diagonal InfoNCE with duplicate-masked denominators +
@@ -99,6 +110,10 @@ def train_embedder(config: RadarConfig,
         else:
             loss, parts = contrastive_loss(img, txt, temperature,
                                            labels, config.expert)
+        # the duplicated vision forward inside image_observation_logits
+        # is deterministic and CSE'd by XLA under jit — one tower run
+        loss = loss + obs_bce
+        parts = dict(parts, obs_bce=obs_bce)
         return loss, parts
 
     @jax.jit

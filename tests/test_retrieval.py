@@ -187,3 +187,52 @@ def test_dpr_evaluator_curve_structure(cfg, tokenizer):
             <= rep["relevance_curve"]["jaccard_0.5"]
                   ["mean_relevant_per_query"])
     assert _tau_name(1.0) == "exact_set"
+
+
+def test_embedder_obs_head_round_trip(cfg, tokenizer):
+    """retrieval.obs_head=True adds an image->observation head to the
+    embedder param tree (initialized through __call__ so save/restore
+    templates are complete), embed_images_with_obs returns probs, and
+    the eval path scores image queries with the hybrid rule."""
+    import dataclasses
+    import jax
+
+    from radar_tpu.retrieval.embedder import JittedEmbedder
+
+    c = dataclasses.replace(
+        cfg, retrieval=dataclasses.replace(cfg.retrieval, obs_head=True,
+                                           capacity=64))
+    emb = JittedEmbedder.create(c.vision, c.text, c.retrieval, tokenizer,
+                                rng=jax.random.key(0))
+    assert emb.has_obs_head
+    assert "obs_head" in emb.params
+    imgs = [np.zeros((c.vision.image_size, c.vision.image_size, 3),
+                     np.float32) for _ in range(3)]
+    e, p = emb.embed_images_with_obs(imgs)
+    assert e.shape == (3, c.retrieval.embedding_dim)
+    assert p.shape == (3, 14) and (p >= 0).all() and (p <= 1).all()
+
+    # plain embedder refuses the joint call
+    emb2 = JittedEmbedder.create(cfg.vision, cfg.text, cfg.retrieval,
+                                 tokenizer, rng=jax.random.key(0))
+    assert not emb2.has_obs_head
+    with pytest.raises(ValueError, match="obs_head"):
+        emb2.embed_images_with_obs(imgs)
+
+
+def test_apply_embedder_meta_round_trip(tmp_path, cfg):
+    """embedder_meta.json written at train time flips obs_head at
+    restore sites; absence or garbage leaves the config unchanged."""
+    import json
+
+    from radar_tpu.cli.common import apply_embedder_meta
+
+    assert apply_embedder_meta(cfg, str(tmp_path)).retrieval.obs_head \
+        is False
+    (tmp_path / "embedder_meta.json").write_text(
+        json.dumps({"obs_head": True, "objective": "exact"}))
+    c2 = apply_embedder_meta(cfg, str(tmp_path))
+    assert c2.retrieval.obs_head is True
+    (tmp_path / "embedder_meta.json").write_text("not json")
+    assert apply_embedder_meta(cfg, str(tmp_path)).retrieval.obs_head \
+        is False
