@@ -123,8 +123,10 @@ def main(argv=None):
             from ..core.checkpoint import load_params
             from ..fusion.training import train_fusion_on_texts
             from ..retrieval.embedder import JittedEmbedder
-            embedder = JittedEmbedder.create(cfg.vision, cfg.text,
-                                             cfg.retrieval, tokenizer)
+            from .common import apply_embedder_meta
+            ecfg = apply_embedder_meta(cfg, args.output_dir)
+            embedder = JittedEmbedder.create(ecfg.vision, ecfg.text,
+                                             ecfg.retrieval, tokenizer)
             embedder.params = load_params(
                 emb_ckpt, {"params": embedder.params})["params"]
             module, params, history = train_fusion_on_texts(
@@ -171,8 +173,10 @@ def main(argv=None):
                     f"for LM prefix train/serve parity")
             from ..core.checkpoint import load_params
             from ..retrieval.embedder import JittedEmbedder
-            embedder = JittedEmbedder.create(cfg.vision, cfg.text,
-                                             cfg.retrieval, tokenizer)
+            from .common import apply_embedder_meta
+            ecfg = apply_embedder_meta(cfg, args.output_dir)
+            embedder = JittedEmbedder.create(ecfg.vision, ecfg.text,
+                                             ecfg.retrieval, tokenizer)
             embedder.params = load_params(
                 emb_ckpt, {"params": embedder.params})["params"]
             chunk = 64

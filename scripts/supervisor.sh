@@ -125,12 +125,16 @@ for m in gnn uncertainty contrastive baseline multitask; do
     $TINY --epochs 16 $extra --resume || rc=1
 done
 
-# -- tiny retrieval system (embedder + fusion + decoder)
+# -- tiny retrieval system (embedder + fusion + decoder).  Round-5
+#    shipping recipe: exact-set objective + image->observation head
+#    for hybrid image queries (image exact-set MRR 0.676 -> 0.82;
+#    scripts/round5_shipping_retrieval.sh is the promotion record)
 stage tiny_retrieval "checkpoints/retrieval_system/decoder" \
   /tmp/sup_tiny_retr.log 600 4 -- \
   python -m radar_tpu.cli.train_retrieval_system --contribution all \
-  $TINY --set retrieval.objective=diagonal \
-  --epochs 3 --embedder_epochs 16 --lm_epochs 12 || rc=1
+  $TINY --set retrieval.objective=exact \
+  --set retrieval.obs_head=true --set retrieval.obs_head_weight=2.0 \
+  --epochs 3 --embedder_epochs 32 --lm_epochs 12 || rc=1
 
 # -- tiny temporal comparator
 stage tiny_temporal "results/temporal_evaluation.json" \
