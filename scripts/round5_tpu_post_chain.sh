@@ -57,4 +57,17 @@ bash $R /tmp/r5_async_quality.log 2400 3 \
   --output results/serving_async_quality.json \
   || log "WARNING: quality async bench FAILED"
 
+PIPE5="--synthetic --tiny --synthetic_size 5120 --num_samples 128 \
+  --passages 5120 --set retrieval.capacity=5120 \
+  --model_type gnn --expert_checkpoint $EXP/gnn"
+log "pipeline evals against the round-5 shipping retrieval system"
+bash $R /tmp/r5_ship_pe.log 1200 2 \
+  python -m radar_tpu.cli.evaluate_pipeline $PIPE5 $ENS \
+  --output_path results/pipeline_evaluation.json \
+  || log "WARNING: pipeline_evaluation FAILED"
+bash $R /tmp/r5_ship_pe_g.log 1200 2 \
+  python -m radar_tpu.cli.evaluate_pipeline $PIPE5 $ENS --grounding \
+  --output_path results/pipeline_evaluation_grounded.json \
+  || log "WARNING: pipeline_evaluation_grounded FAILED"
+
 log "DONE round5_tpu_post_chain"
