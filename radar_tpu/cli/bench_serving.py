@@ -104,11 +104,14 @@ def _main(argv=None):
     b = args.serve_batch
     run(studies[:b])                         # warmup / compile
     lat = []
+    stage_totals: dict[str, float] = {}
     for i in range(1, args.num_batches + 1):
         t0 = time.perf_counter()
         outs = run(studies[i * b:(i + 1) * b])
         lat.append(time.perf_counter() - t0)
         assert len(outs) == b and all(o["report"] for o in outs)
+        for k, v in pipe.last_batch_timings.items():
+            stage_totals[k] = stage_totals.get(k, 0.0) + v
     lat = np.asarray(lat)
     result = {
         "backend": __import__("jax").default_backend(),
@@ -122,6 +125,11 @@ def _main(argv=None):
         "reports_per_sec_p50": b / float(np.percentile(lat, 50)),
         "seconds_per_batch_mean": float(lat.mean()),
         "seconds_per_batch_p50": float(np.percentile(lat, 50)),
+        # mean seconds per batch in each pipeline stage (round-5: the
+        # attribution witness for where seconds/batch actually go)
+        "stage_seconds_per_batch_mean": {
+            k: round(v / args.num_batches, 4)
+            for k, v in sorted(stage_totals.items())},
         "measured": True,
     }
     os.makedirs(os.path.dirname(os.path.abspath(args.output)),

@@ -146,6 +146,8 @@ class RadarPipeline:
         #: (advisor round-3): a run with --targeting_stacker can
         #: otherwise report veto numbers unnoticed.
         self.gate_counts = {"stacker": 0, "veto": 0}
+        #: per-stage seconds of the most recent generate_reports_batch
+        self.last_batch_timings: dict[str, float] = {}
         self._warned_stacker_fallback = False
         if stacker is not None:
             n_mem = 1 + len(self._members)
@@ -807,6 +809,19 @@ class RadarPipeline:
         refs = reference_texts or [None] * n
         cfg = self.config.rag
 
+        # per-stage wall-clock for THIS batch, mirrored from the
+        # single-study path's breakdown; published as
+        # ``self.last_batch_timings`` so throughput benches can
+        # attribute seconds/batch (round-5: the quality preset's
+        # 11 s/batch needed exactly this witness)
+        timings: dict[str, float] = {}
+        _last = [time.perf_counter()]
+
+        def _mark(stage: str) -> None:
+            now = time.perf_counter()
+            timings[stage] = timings.get(stage, 0.0) + (now - _last[0])
+            _last[0] = now
+
         # One upload, normalize on device: uint8 batches (the
         # production wire format — HTTP front door, MIMIC JPGs) go up
         # the relay at 1/4 the bytes of normalized float32 and run the
@@ -816,6 +831,7 @@ class RadarPipeline:
         # Measured round-4: the async serving front door is image-
         # upload-bound at b64 (38 MB float32 vs 9.6 MB uint8).
         imgs_dev = self._preprocess_batch(images)
+        _mark("preprocess")
 
         temporal_stmts: list[str | None] = [None] * n
         progression = None
@@ -838,6 +854,7 @@ class RadarPipeline:
             clinical_contexts = [
                 f"{clinical_contexts[i]} Comparison: {temporal_stmts[i]}"
                 for i in range(n)]
+            _mark("temporal")
 
         image_embeddings = None
         if self.dpr is not None:
@@ -848,6 +865,7 @@ class RadarPipeline:
             image_embeddings = self._put_batch(
                 np.asarray(self.dpr.embedder.embed_images_device(
                     imgs_dev)))
+            _mark("image_embed")
 
         # stage 2 (batched): calibrated expert observations, with the
         # cross-modal image-neighbour veto on positives (round-3)
@@ -892,6 +910,7 @@ class RadarPipeline:
                     OBSERVATION_NAMES[j]: float(probs[i, j])
                     for j in range(len(OBSERVATION_NAMES))
                     if decisions[i, j]}
+            _mark("expert")
 
         # first-pass constrained decoding (contribution 3.3): entities
         # the expert scores <= hallucination_threshold are banned in
@@ -906,6 +925,7 @@ class RadarPipeline:
 
         preliminary = self._batch_generate(contexts, image_embeddings,
                                            banned_mask=banned0)
+        _mark("preliminary_decode")
         generations: list[list[str]] = [[p] for p in preliminary]
         cumulative: list[set] = [set() for _ in range(n)]
         seen: list[set] = [set() for _ in range(n)]
@@ -1003,6 +1023,7 @@ class RadarPipeline:
                 if not done[i]:
                     generations[i].append(outs[i])
 
+        _mark("rag_loop")
         best_idx = []
         for i in range(n):
             if refs[i]:
@@ -1063,6 +1084,8 @@ class RadarPipeline:
                     grounding[i]["post_constrained"] = verifier.verify(
                         fixed, probs[i], **vkw(i))
                     final[i] = fixed
+        if verify_grounding:
+            _mark("grounding")
 
         results = []
         for i in range(n):
@@ -1080,6 +1103,10 @@ class RadarPipeline:
                     "progression": progression[i].tolist()}
                    if temporal_stmts[i] is not None else {}),
             })
+        #: stage seconds for the batch just served (throughput benches
+        #: read this to attribute seconds/batch)
+        self.last_batch_timings = {k: round(v, 4)
+                                   for k, v in sorted(timings.items())}
         return results[:n_req]
 
     def generate_report(self, image: np.ndarray, clinical_context: str,
