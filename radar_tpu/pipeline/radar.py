@@ -955,6 +955,7 @@ class RadarPipeline:
                         for j in range(len(OBSERVATION_NAMES))
                         if probs[i, j] > h_th} for i in range(n)]
 
+        _mark("loop_setup")
         for iteration in range(cfg.max_iterations - 1):
             # pass 1 (host): plan every active study, collect queries
             active, missings = [], {}
@@ -968,6 +969,7 @@ class RadarPipeline:
                 if not done[i]:
                     active.append(i)
                     missings[i] = missing
+            _mark("loop_plan")
             # pass 2 (device): ONE batched embed + index search for all
             # active studies — per-study retrieval calls are host-RTT
             # bound (~90 ms each through the relay).  The batch is
@@ -984,6 +986,7 @@ class RadarPipeline:
                 all_hits = self.dpr.retrieve_for_texts(
                     queries, cfg.top_k, q_obs)
                 hits_of = {i: all_hits[i] for i in active}
+            _mark("loop_retrieve")
             # pass 3 (host + fusion): rank, filter, build prompts.
             # The conflict filter runs ONCE batched over all active
             # studies (3 dispatches total, not 3 per study)
@@ -997,6 +1000,7 @@ class RadarPipeline:
                                 for h in hits_of.get(i, [])]
                 filtered = self.filter_conflicting_passages_batch(
                     prelims, plist)
+            _mark("loop_fusion")
             for i in active:
                 gen = generations[i][-1]
                 hits = hits_of.get(i, [])
@@ -1022,8 +1026,9 @@ class RadarPipeline:
             for i in range(n):
                 if not done[i]:
                     generations[i].append(outs[i])
+            _mark("loop_decode")
 
-        _mark("rag_loop")
+        _mark("loop_residual")
         best_idx = []
         for i in range(n):
             if refs[i]:
