@@ -659,6 +659,20 @@ class RadarPipeline:
                 {"passage": p, "conflict_score": float(s)})
         return [k["passage"] for k in keep], dropped
 
+    def _active_bucket(self, m: int, full: int) -> int:
+        """Smallest of {full//4, full//2, full} (rounded up to the
+        serving-mesh multiple) that covers ``m`` rows.  A short fixed
+        ladder keeps the compile count bounded (static shapes) while
+        letting late-RAG-loop programs scale with the ACTIVE study
+        count instead of the whole batch — at the quality preset the
+        loop ran every batched program at full width to serve the ~2%
+        of studies still iterating (9.7 of 10.9 s/batch)."""
+        for b in (max(1, full // 4), max(1, full // 2)):
+            b = -(-b // self._mesh_size) * self._mesh_size
+            if m <= b:
+                return b
+        return full
+
     def filter_conflicting_passages_batch(
             self, preliminaries: list[str],
             passages_list: list[list[str]]) -> list[tuple]:
@@ -667,8 +681,10 @@ class RadarPipeline:
         the per-study ``filter_conflicting_passages`` costs 3 device
         dispatches per study per RAG iteration (each a full relay
         round-trip); at serving batch sizes the fixed dispatch cost
-        dominates the fusion compute.  Rows are padded to the static
-        ``n * max(top_k, widest)`` shape so the programs compile once.
+        dominates the fusion compute.  Rows pad to a SHORT bucket
+        ladder over the active count (``_active_bucket``) so the
+        programs keep a handful of static shapes while inactive
+        studies stop paying for embeds they don't need.
         Returns per-study (kept_passages, dropped) with the per-study
         method's exact semantics (no filtering without a preliminary)."""
         n = len(passages_list)
@@ -682,13 +698,21 @@ class RadarPipeline:
         seq = self.config.fusion.max_findings_len
         cap = max(self.config.rag.top_k,
                   max(len(p) for p in passages_list))
-        total = n * cap
+        # PF embed: only studies WITH a preliminary, padded to the
+        # active bucket (was: all n rows)
+        act = [i for i in range(n) if preliminaries[i]]
+        pb = self._active_bucket(len(act), n)
+        act_pad = act + [act[-1]] * (pb - len(act))
         pf_all, pf_mask_all = self.dpr.embedder.embed_text_hidden(
-            [p or "" for p in preliminaries], seq)        # [n, S, H]
+            [preliminaries[i] for i in act_pad], seq)    # [pb, S, H]
+        pos_of = {i: j for j, i in enumerate(act)}
+        # SF embed: flattened passages padded to the active bucket of
+        # the full n*cap width (was: always n*cap)
+        total = self._active_bucket(len(rows), n * cap)
         texts = [p for (_, p) in rows] + [""] * (total - len(rows))
         sf_feats, sf_mask = self.dpr.embedder.embed_text_hidden(
             texts, seq)
-        row_of = np.asarray([i for (i, _) in rows]
+        row_of = np.asarray([pos_of[i] for (i, _) in rows]
                             + [0] * (total - len(rows)))
         out = self._fusion_fwd(self.fusion_params,
                                jnp.asarray(pf_all[row_of]),
@@ -1021,11 +1045,31 @@ class RadarPipeline:
             if all(done):
                 break
             # one batched decode for everyone (frozen rows ignored)
-            outs = self._batch_generate(current, image_embeddings,
-                                        banned_mask=banned0)
-            for i in range(n):
-                if not done[i]:
-                    generations[i].append(outs[i])
+            # decode only the ACTIVE rows, padded to a short bucket
+            # ladder: with strong experts most studies finish in one
+            # pass, and a full-width decode to serve the stragglers
+            # was the quality preset's dominant serving cost
+            m = len(active)
+            b = self._active_bucket(m, n)
+            if b < n:
+                rows_idx = active + [active[-1]] * (b - m)
+                sub_emb = None
+                if image_embeddings is not None:
+                    sub_emb = self._put_batch(np.asarray(
+                        image_embeddings)[np.asarray(rows_idx)])
+                sub_banned = (None if banned0 is None
+                              else banned0[np.asarray(rows_idx)])
+                outs_sub = self._batch_generate(
+                    [current[i] for i in rows_idx], sub_emb,
+                    banned_mask=sub_banned)
+                for j, i in enumerate(active):
+                    generations[i].append(outs_sub[j])
+            else:
+                outs = self._batch_generate(current, image_embeddings,
+                                            banned_mask=banned0)
+                for i in range(n):
+                    if not done[i]:
+                        generations[i].append(outs[i])
             _mark("loop_decode")
 
         _mark("loop_residual")
